@@ -1,0 +1,64 @@
+"""lz4tpu — a TPU-native LZ4 codec framework.
+
+A from-scratch rebuild of the capabilities of the reference Ada library
+``m7a/bo-lz4-ada`` (streaming LZ4 frame/legacy/skippable/raw-block
+decompression with xxhash32 verification), re-designed TPU-first:
+
+- host layer: frame parsing, streaming FSM, native (C++) token scan /
+  ring decode / hash-chain encoder (``lz4tpu.native``, ``lz4tpu.stream``)
+- device layer: batched, byte-parallel block decode and xxhash32 as
+  JAX/XLA + Pallas kernels over HBM byte buffers (``lz4tpu.device``)
+- scale-out: data-parallel decode over a ``jax.sharding.Mesh`` with
+  ordered gather (``lz4tpu.dist``)
+- plus a capability the reference lacks: an LZ4 encoder.
+
+Public surface mirrors the reference API semantics (reference:
+lib/lz4ada.ads): ``Decompressor`` (init / from_header / for_block /
+update / end_of_frame), ``XXHash32``, the five exceptions, and the
+reservation policy enum.
+"""
+
+from .constants import (
+    FOR_ALL,
+    FOR_LEGACY,
+    FOR_MODERN,
+    HISTORY_SIZE,
+    EndOfFrame,
+    Reservation,
+)
+from .errors import (
+    ChecksumError,
+    DataCorruption,
+    Lz4Error,
+    NotSupported,
+    TooFewHeaderBytes,
+    TooLittleMemory,
+)
+from .stream import Decompressor, Format
+from .xxh32 import XXHash32, xxh32
+from .api import compress, decompress, decompress_host
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Decompressor",
+    "Format",
+    "XXHash32",
+    "xxh32",
+    "compress",
+    "decompress",
+    "decompress_host",
+    "Reservation",
+    "EndOfFrame",
+    "FOR_ALL",
+    "FOR_LEGACY",
+    "FOR_MODERN",
+    "HISTORY_SIZE",
+    "Lz4Error",
+    "ChecksumError",
+    "DataCorruption",
+    "NotSupported",
+    "TooFewHeaderBytes",
+    "TooLittleMemory",
+    "__version__",
+]

@@ -1,0 +1,156 @@
+"""High-level one-shot API: decompress / compress whole buffers.
+
+``decompress`` routes through the host streaming engine by default and
+through the batched TPU device pipeline when requested (or when
+``backend="auto"`` finds a TPU and enough data to be worth shipping).
+
+The compressed *writer* (``compress``) produces standard LZ4 frames that
+the reference CLI decodes bit-exactly; the match finder is the native
+hash-chain engine (reference analog: none — the reference is
+decompression-only, README.md:20; the encoder is a new capability per
+the rebuild north star).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .constants import (
+    FOR_ALL,
+    MAGIC_MODERN,
+    EndOfFrame,
+    Reservation,
+)
+from .errors import DataCorruption
+from .stream import Decompressor
+from .xxh32 import xxh32
+
+__all__ = ["decompress", "compress", "decompress_host"]
+
+
+def decompress_host(data, reservation: Reservation = FOR_ALL) -> bytes:
+    """Decode a whole buffer (any mix of concatenated frames) on the host."""
+    arr = np.frombuffer(bytes(data), dtype=np.uint8)
+    if arr.size == 0:
+        return b""
+    ctx = Decompressor(reservation)
+    out = bytearray()
+    pos = 0
+    stall = 0
+    while pos < arr.size:
+        consumed, chunk = ctx.update(arr[pos:])
+        out += chunk
+        pos += consumed
+        if consumed == 0:
+            stall += 1
+            if stall > 4:
+                raise DataCorruption("Decoder made no progress; corrupt input.")
+        else:
+            stall = 0
+    if ctx.end_of_frame == EndOfFrame.NO:
+        raise DataCorruption("Input ended in the middle of a frame.")
+    return bytes(out)
+
+
+def decompress(data, reservation: Reservation = FOR_ALL, backend: str = "auto") -> bytes:
+    """Decode a whole buffer.
+
+    backend: "host" (native/C++ streaming engine), "device" (batched
+    TPU pipeline), or "auto" (device when a non-CPU JAX backend is
+    present and the input is large enough to amortize dispatch).
+    """
+    if backend == "host":
+        return decompress_host(data, reservation)
+    if backend == "device":
+        from .pipeline import decompress_device
+
+        return decompress_device(data, reservation)
+    # auto
+    try:
+        import jax
+
+        platform = jax.devices()[0].platform
+    except Exception:
+        platform = "cpu"
+    if platform != "cpu" and len(data) >= 1 << 16:
+        from .pipeline import decompress_device
+
+        return decompress_device(data, reservation)
+    return decompress_host(data, reservation)
+
+
+def _frame_descriptor(
+    content_size: int | None,
+    block_max_code: int,
+    content_checksum: bool,
+    block_checksum: bool,
+    block_independence: bool,
+) -> bytes:
+    flg = (1 << 6) | (0x20 if block_independence else 0)
+    if block_checksum:
+        flg |= 0x10
+    if content_size is not None:
+        flg |= 0x08
+    if content_checksum:
+        flg |= 0x04
+    bd = block_max_code << 4
+    body = bytes([flg, bd])
+    if content_size is not None:
+        body += struct.pack("<Q", content_size)
+    hc = (xxh32(body) >> 8) & 0xFF
+    return body + bytes([hc])
+
+
+_BLOCK_CODE_SIZE = {4: 64 * 1024, 5: 256 * 1024, 6: 1 << 20, 7: 4 << 20}
+
+
+def compress(
+    data,
+    *,
+    block_max_code: int = 7,
+    content_checksum: bool = True,
+    block_checksum: bool = False,
+    content_size: bool = False,
+    block_independence: bool = False,
+    max_chain: int = 64,
+    backend: str = "host",
+) -> bytes:
+    """Compress ``data`` into a standard LZ4 frame.
+
+    Defaults mirror the ``lz4`` CLI (4 MiB linked blocks, content
+    checksum on), which is what the reference test vectors use.
+    """
+    data = bytes(data)
+    from .native import compress_block
+
+    block_max = _BLOCK_CODE_SIZE[block_max_code]
+    out = bytearray(struct.pack("<I", MAGIC_MODERN))
+    out += _frame_descriptor(
+        len(data) if content_size else None,
+        block_max_code,
+        content_checksum,
+        block_checksum,
+        block_independence,
+    )
+    pos = 0
+    while pos < len(data):
+        chunk = data[pos:pos + block_max]
+        hist = b"" if block_independence else data[max(0, pos - 65536):pos]
+        comp = compress_block(chunk, hist=hist, max_chain=max_chain)
+        if comp and len(comp) < len(chunk):
+            out += struct.pack("<I", len(comp))
+            out += comp
+            blk = comp
+        else:
+            out += struct.pack("<I", len(chunk) | 0x80000000)
+            out += chunk
+            blk = chunk
+        if block_checksum:
+            out += struct.pack("<I", xxh32(blk))
+        pos += len(chunk)
+    out += b"\x00\x00\x00\x00"  # end mark
+    if content_checksum:
+        out += struct.pack("<I", xxh32(data))
+    return bytes(out)

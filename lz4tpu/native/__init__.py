@@ -1,0 +1,213 @@
+"""Loader for the native host engine (lz4core.cpp).
+
+Compiles the shared library on first use with g++ (cached next to the
+source), binds it via ctypes. Everything here has a pure-Python fallback
+elsewhere in the package; callers use :func:`available` to pick.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import tempfile
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "lz4core.cpp")
+_SO = os.path.join(_HERE, "_lz4core.so")
+
+_lock = threading.Lock()
+_lib = None
+_load_error: Exception | None = None
+
+OK = 0
+E_OFFSET_ZERO = 1
+E_BACKREF_RANGE = 2
+E_MATCH_AFTER_LIT = 3
+E_TRUNCATED = 4
+E_DST_OVERFLOW = 5
+E_SEQ_OVERFLOW = 6
+
+
+def _build() -> None:
+    with tempfile.TemporaryDirectory(dir=_HERE) as td:
+        tmp_so = os.path.join(td, "_lz4core.so")
+        subprocess.run(
+            [
+                "g++", "-O3", "-march=native", "-funroll-loops", "-shared",
+                "-fPIC", "-std=c++17", "-o", tmp_so, _SRC,
+            ],
+            check=True,
+            capture_output=True,
+        )
+        os.replace(tmp_so, _SO)
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
+    c = ctypes
+    u8p = c.POINTER(c.c_uint8)
+    i64p = c.POINTER(c.c_int64)
+    i32p = c.POINTER(c.c_int32)
+
+    lib.lz4tpu_xxh32.restype = c.c_uint32
+    lib.lz4tpu_xxh32.argtypes = [u8p, c.c_int64, c.c_uint32]
+    lib.lz4tpu_xxh32_state_size.restype = c.c_int32
+    lib.lz4tpu_xxh32_init.argtypes = [c.c_void_p, c.c_uint32]
+    lib.lz4tpu_xxh32_update.argtypes = [c.c_void_p, u8p, c.c_int64]
+    lib.lz4tpu_xxh32_final.restype = c.c_uint32
+    lib.lz4tpu_xxh32_final.argtypes = [c.c_void_p]
+
+    lib.lz4tpu_decode_block_ring.restype = c.c_int32
+    lib.lz4tpu_decode_block_ring.argtypes = [
+        u8p, c.c_int64, u8p, c.c_int64, c.c_int64, c.c_int64, i64p, i64p,
+    ]
+    lib.lz4tpu_scan_sequences.restype = c.c_int64
+    lib.lz4tpu_scan_sequences.argtypes = [
+        u8p, c.c_int64, i32p, i32p, i32p, i32p, c.c_int64, i64p,
+    ]
+    lib.lz4tpu_compress_block.restype = c.c_int64
+    lib.lz4tpu_compress_block.argtypes = [
+        u8p, c.c_int64, u8p, c.c_int64, u8p, c.c_int64, c.c_int32,
+    ]
+    return lib
+
+
+def _get() -> ctypes.CDLL:
+    global _lib, _load_error
+    if _lib is not None:
+        return _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _load_error is not None:
+            raise _load_error
+        try:
+            if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+                _build()
+            _lib = _bind(ctypes.CDLL(_SO))
+        except Exception as exc:  # pragma: no cover - environment dependent
+            _load_error = exc
+            raise
+    return _lib
+
+
+def available() -> bool:
+    """True if the native engine can be loaded (builds it if needed)."""
+    try:
+        _get()
+        return True
+    except Exception:
+        return False
+
+
+def _u8ptr(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _as_u8(data) -> np.ndarray:
+    if isinstance(data, np.ndarray) and data.dtype == np.uint8 and data.flags.c_contiguous:
+        return data
+    return np.frombuffer(bytes(data), dtype=np.uint8)
+
+
+def native_xxh32(data, seed: int = 0) -> int:
+    arr = _as_u8(data)
+    return int(_get().lz4tpu_xxh32(_u8ptr(arr), arr.size, seed & 0xFFFFFFFF))
+
+
+class NativeXXH32:
+    """Streaming xxh32 backed by the native engine (same API as XXHash32)."""
+
+    __slots__ = ("_state",)
+
+    def __init__(self, seed: int = 0) -> None:
+        lib = _get()
+        self._state = ctypes.create_string_buffer(lib.lz4tpu_xxh32_state_size())
+        lib.lz4tpu_xxh32_init(self._state, seed & 0xFFFFFFFF)
+
+    def reset(self, seed: int = 0) -> None:
+        _get().lz4tpu_xxh32_init(self._state, seed & 0xFFFFFFFF)
+
+    def update(self, data) -> "NativeXXH32":
+        arr = _as_u8(data)
+        if arr.size:
+            _get().lz4tpu_xxh32_update(self._state, _u8ptr(arr), arr.size)
+        return self
+
+    def final(self) -> int:
+        return int(_get().lz4tpu_xxh32_final(self._state))
+
+
+def decode_block_ring(
+    src, buf: np.ndarray, out_pos: int, out_pos_history: int
+) -> tuple[int, int, int]:
+    """Decode one raw block into the ring buffer.
+
+    Returns (status, new_out_pos, err_detail). Status 0 = OK.
+    """
+    arr = _as_u8(src)
+    new_pos = ctypes.c_int64(0)
+    err_a = ctypes.c_int64(0)
+    st = _get().lz4tpu_decode_block_ring(
+        _u8ptr(arr), arr.size, _u8ptr(buf), buf.size,
+        out_pos, out_pos_history,
+        ctypes.byref(new_pos), ctypes.byref(err_a),
+    )
+    return int(st), int(new_pos.value), int(err_a.value)
+
+
+def scan_sequences(src) -> tuple[int, np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]:
+    """Token-scan a raw block into a structure-of-arrays sequence table.
+
+    Returns (status, lit_len, lit_src, match_len, match_off, total_out).
+    Status 0 = OK, otherwise one of the E_* codes.
+    """
+    arr = _as_u8(src)
+    # Worst case: one sequence per input byte (token-only degenerate) —
+    # in valid streams a sequence is >= 2 bytes except the last; +8 slack.
+    cap = arr.size + 8
+    lit_len = np.empty(cap, dtype=np.int32)
+    lit_src = np.empty(cap, dtype=np.int32)
+    match_len = np.empty(cap, dtype=np.int32)
+    match_off = np.empty(cap, dtype=np.int32)
+    total = ctypes.c_int64(0)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    n = _get().lz4tpu_scan_sequences(
+        _u8ptr(arr), arr.size,
+        lit_len.ctypes.data_as(i32p), lit_src.ctypes.data_as(i32p),
+        match_len.ctypes.data_as(i32p), match_off.ctypes.data_as(i32p),
+        cap, ctypes.byref(total),
+    )
+    if n < 0:
+        return int(-n), lit_len[:0], lit_src[:0], match_len[:0], match_off[:0], 0
+    return (
+        OK,
+        lit_len[:n], lit_src[:n], match_len[:n], match_off[:n],
+        int(total.value),
+    )
+
+
+def compress_block(src, hist: bytes = b"", max_chain: int = 64) -> bytes:
+    """Greedy hash-chain LZ4 block compression (optionally linked)."""
+    src_b = bytes(src)
+    if not src_b:
+        return b""
+    if hist:
+        joined = np.frombuffer(hist[-65536:] + src_b, dtype=np.uint8)
+        hist_len = min(len(hist), 65536)
+    else:
+        joined = np.frombuffer(src_b, dtype=np.uint8)
+        hist_len = 0
+    cap = len(src_b) + len(src_b) // 128 + 64
+    dst = np.empty(cap, dtype=np.uint8)
+    n = _get().lz4tpu_compress_block(
+        _u8ptr(joined), hist_len,
+        _u8ptr(joined[hist_len:]) if hist_len else _u8ptr(joined), len(src_b),
+        _u8ptr(dst), cap, max_chain,
+    )
+    if n < 0:
+        raise RuntimeError("lz4tpu_compress_block: destination overflow")
+    return dst[:n].tobytes()

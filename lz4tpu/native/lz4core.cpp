@@ -1,0 +1,479 @@
+// lz4core: native host engine for the TPU-native LZ4 codec.
+//
+// This is the CPU side of the framework: the parts of the codec that are
+// control-flow heavy and byte-granular (token scanning, streaming-mode ring
+// decode, xxhash32, hash-chain match finding) run here at native speed; the
+// bandwidth-heavy bulk work (vectorized copy resolution, batched checksums)
+// runs on the TPU via Pallas/XLA (see lz4tpu/device/).
+//
+// Behavioral parity targets (reference file:line, /root/reference):
+//   - block sequence grammar: lib/lz4ada.adb:716-788
+//   - ring/history semantics:  lib/lz4ada.adb:678-680, 845-904
+//   - xxhash32:                lib/lz4ada.adb:923-1026
+//
+// All functions use a plain C ABI and are loaded from Python via ctypes.
+// Error reporting: non-zero status codes; the Python layer re-runs failing
+// inputs through the exact-message oracle to produce contract-parity
+// diagnostics, so only *which* check failed matters here, plus enough
+// detail for fast paths.
+
+#include <cstdint>
+#include <cstring>
+#include <cstddef>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// xxhash32
+// ---------------------------------------------------------------------------
+
+static const uint32_t P1 = 2654435761u;
+static const uint32_t P2 = 2246822519u;
+static const uint32_t P3 = 3266489917u;
+static const uint32_t P4 = 668265263u;
+static const uint32_t P5 = 374761393u;
+
+static inline uint32_t rotl32(uint32_t v, int r) {
+    return (v << r) | (v >> (32 - r));
+}
+
+static inline uint32_t read32(const uint8_t* p) {
+    uint32_t v;
+    std::memcpy(&v, p, 4);
+    return v;  // little-endian hosts only, like the reference
+}
+
+typedef struct {
+    uint32_t s0, s1, s2, s3;
+    uint64_t total;
+    uint32_t buf_size;
+    uint8_t buf[16];
+} xxh32_state;
+
+void lz4tpu_xxh32_init(xxh32_state* st, uint32_t seed) {
+    st->s0 = seed + P1 + P2;
+    st->s1 = seed + P2;
+    st->s2 = seed;
+    st->s3 = seed - P1;
+    st->total = 0;
+    st->buf_size = 0;
+}
+
+void lz4tpu_xxh32_update(xxh32_state* st, const uint8_t* data, int64_t n) {
+    st->total += (uint64_t)n;
+    const uint8_t* p = data;
+    const uint8_t* end = data + n;
+    if (st->buf_size) {
+        while (st->buf_size < 16 && p < end) st->buf[st->buf_size++] = *p++;
+        if (st->buf_size < 16) return;
+        st->s0 = rotl32(st->s0 + read32(st->buf + 0) * P2, 13) * P1;
+        st->s1 = rotl32(st->s1 + read32(st->buf + 4) * P2, 13) * P1;
+        st->s2 = rotl32(st->s2 + read32(st->buf + 8) * P2, 13) * P1;
+        st->s3 = rotl32(st->s3 + read32(st->buf + 12) * P2, 13) * P1;
+        st->buf_size = 0;
+    }
+    uint32_t s0 = st->s0, s1 = st->s1, s2 = st->s2, s3 = st->s3;
+    while (end - p >= 16) {
+        s0 = rotl32(s0 + read32(p + 0) * P2, 13) * P1;
+        s1 = rotl32(s1 + read32(p + 4) * P2, 13) * P1;
+        s2 = rotl32(s2 + read32(p + 8) * P2, 13) * P1;
+        s3 = rotl32(s3 + read32(p + 12) * P2, 13) * P1;
+        p += 16;
+    }
+    st->s0 = s0; st->s1 = s1; st->s2 = s2; st->s3 = s3;
+    while (p < end) st->buf[st->buf_size++] = *p++;
+}
+
+uint32_t lz4tpu_xxh32_final(const xxh32_state* st) {
+    uint32_t h;
+    if (st->total >= 16) {
+        h = rotl32(st->s0, 1) + rotl32(st->s1, 7) + rotl32(st->s2, 12) +
+            rotl32(st->s3, 18);
+    } else {
+        h = st->s2 + P5;
+    }
+    h += (uint32_t)st->total;
+    uint32_t i = 0;
+    while (i + 4 <= st->buf_size) {
+        h = rotl32(h + read32(st->buf + i) * P3, 17) * P4;
+        i += 4;
+    }
+    while (i < st->buf_size) {
+        h = rotl32(h + st->buf[i] * P5, 11) * P1;
+        i += 1;
+    }
+    h ^= h >> 15; h *= P2;
+    h ^= h >> 13; h *= P3;
+    h ^= h >> 16;
+    return h;
+}
+
+uint32_t lz4tpu_xxh32(const uint8_t* data, int64_t n, uint32_t seed) {
+    xxh32_state st;
+    lz4tpu_xxh32_init(&st, seed);
+    lz4tpu_xxh32_update(&st, data, n);
+    return lz4tpu_xxh32_final(&st);
+}
+
+int32_t lz4tpu_xxh32_state_size(void) { return (int32_t)sizeof(xxh32_state); }
+
+// ---------------------------------------------------------------------------
+// Block decode (ring semantics identical to the reference streaming core)
+// ---------------------------------------------------------------------------
+
+enum {
+    LZ4TPU_OK = 0,
+    LZ4TPU_E_OFFSET_ZERO = 1,      // err_a = (unused)
+    LZ4TPU_E_BACKREF_RANGE = 2,    // err_a = h_offset (negative)
+    LZ4TPU_E_MATCH_AFTER_LIT = 3,  // err_a = match nibble
+    LZ4TPU_E_TRUNCATED = 4,        // sequence ran past end of block input
+    LZ4TPU_E_DST_OVERFLOW = 5,     // output exceeded dst capacity
+    LZ4TPU_E_SEQ_OVERFLOW = 6,     // sequence table capacity exceeded
+};
+
+// Read a 255-chained variable length extension. Returns -1 on truncation.
+static inline int64_t var_length(const uint8_t* src, int64_t n, int64_t* ip,
+                                 int64_t base) {
+    int64_t v = base;
+    if (base == 15) {
+        uint8_t b;
+        do {
+            if (*ip >= n) return -1;
+            b = src[*ip];
+            *ip += 1;
+            v += b;
+        } while (b == 255);
+    }
+    return v;
+}
+
+// Decode one raw LZ4 block into `buf` at position `out_pos`, with the
+// reference's wrapped-ring back-reference semantics:
+//   raw = out_pos - offset; raw >= 0 reads buf[raw], raw < 0 reads
+//   buf[raw + out_pos_history] (the retained previous region).
+// Writes may run up to 8 bytes past the logical end (wild copy); `buf`
+// must have >= 8 bytes of slack beyond `buf_len`... no: buf_len IS the
+// allocation; we bound every write instead (branch is off the hot path).
+//
+// Returns a status code; on success *new_out_pos = out_pos + produced.
+// On error, err_a carries the detail (see enum comments).
+int32_t lz4tpu_decode_block_ring(
+    const uint8_t* src, int64_t src_len,
+    uint8_t* buf, int64_t buf_len,
+    int64_t out_pos, int64_t out_pos_history,
+    int64_t* new_out_pos, int64_t* err_a) {
+    int64_t ip = 0;
+    int64_t op = out_pos;
+    *err_a = 0;
+    while (ip < src_len) {
+        const uint8_t token = src[ip++];
+        int64_t lit = var_length(src, src_len, &ip, token >> 4);
+        if (lit < 0) return LZ4TPU_E_TRUNCATED;
+        if (ip + lit > src_len) {
+            // Overlong literal run: the reference fails this at the
+            // match-nibble check (lz4ada.adb:752-764); mirror that.
+            if (token & 0x0F) {
+                *err_a = token & 0x0F;
+                return LZ4TPU_E_MATCH_AFTER_LIT;
+            }
+            return LZ4TPU_E_TRUNCATED;
+        }
+        if (lit > 0) {
+            if (op + lit > buf_len) return LZ4TPU_E_DST_OVERFLOW;
+            std::memcpy(buf + op, src + ip, (size_t)lit);
+            ip += lit;
+            op += lit;
+        }
+        if (ip >= src_len) {
+            if ((token & 0x0F) != 0) {
+                *err_a = token & 0x0F;
+                return LZ4TPU_E_MATCH_AFTER_LIT;
+            }
+            break;
+        }
+        if (ip + 2 > src_len) return LZ4TPU_E_TRUNCATED;
+        const int64_t offset = (int64_t)src[ip] | ((int64_t)src[ip + 1] << 8);
+        ip += 2;
+        if (offset == 0) return LZ4TPU_E_OFFSET_ZERO;
+        int64_t mlen = var_length(src, src_len, &ip, token & 0x0F);
+        if (mlen < 0) return LZ4TPU_E_TRUNCATED;
+        mlen += 4;
+        if (op + mlen > buf_len) return LZ4TPU_E_DST_OVERFLOW;
+
+        int64_t raw = op - offset;
+        int64_t remaining = mlen;
+        if (raw < 0) {
+            // Part replayed from the retained history region.
+            const int64_t h_off = raw + out_pos_history;
+            if (h_off < 0) {
+                *err_a = h_off;
+                return LZ4TPU_E_BACKREF_RANGE;
+            }
+            int64_t h_len = offset - op;  // == -raw
+            if (h_len > remaining) h_len = remaining;
+            std::memcpy(buf + op, buf + h_off, (size_t)h_len);
+            op += h_len;
+            remaining -= h_len;
+            raw = 0;
+        }
+        if (remaining > 0) {
+            // Copy from [raw, op); self-overlapping when offset < length.
+            int64_t dist = op - raw;
+            while (remaining >= dist && dist <= 32) {
+                // Double the replay window until wide enough for memcpy.
+                std::memcpy(buf + op, buf + raw, (size_t)dist);
+                op += dist;
+                remaining -= dist;
+                dist <<= 1;
+            }
+            while (remaining > 0) {
+                int64_t chunk = op - raw;
+                if (chunk > remaining) chunk = remaining;
+                std::memcpy(buf + op, buf + raw, (size_t)chunk);
+                op += chunk;
+                remaining -= chunk;
+                raw += 0;  // window origin fixed; span [raw, old op) grows
+            }
+        }
+    }
+    *new_out_pos = op;
+    return LZ4TPU_OK;
+}
+
+// ---------------------------------------------------------------------------
+// Sequence scan: token grammar -> flat sequence table (device pass 1)
+// ---------------------------------------------------------------------------
+
+// Scans one raw block and appends sequences as structure-of-arrays.
+// For sequence s:
+//   lit_len[s]   number of literal bytes
+//   lit_src[s]   offset of those literals inside `src`
+//   match_len[s] match length (0 for a trailing literal-only sequence)
+//   match_off[s] back-reference distance (undefined when match_len == 0)
+// Returns the number of sequences, or -status on malformed input.
+// *total_out accumulates the decoded size of the block.
+int64_t lz4tpu_scan_sequences(
+    const uint8_t* src, int64_t src_len,
+    int32_t* lit_len, int32_t* lit_src,
+    int32_t* match_len, int32_t* match_off,
+    int64_t cap, int64_t* total_out) {
+    int64_t ip = 0;
+    int64_t s = 0;
+    int64_t out = 0;
+    while (ip < src_len) {
+        if (s >= cap) return -LZ4TPU_E_SEQ_OVERFLOW;
+        const uint8_t token = src[ip++];
+        int64_t lit = var_length(src, src_len, &ip, token >> 4);
+        if (lit < 0) return -LZ4TPU_E_TRUNCATED;
+        if (ip + lit > src_len)
+            return (token & 0x0F) ? -LZ4TPU_E_MATCH_AFTER_LIT
+                                  : -LZ4TPU_E_TRUNCATED;
+        lit_len[s] = (int32_t)lit;
+        lit_src[s] = (int32_t)ip;
+        ip += lit;
+        out += lit;
+        if (ip >= src_len) {
+            if ((token & 0x0F) != 0) return -LZ4TPU_E_MATCH_AFTER_LIT;
+            match_len[s] = 0;
+            match_off[s] = 1;
+            ++s;
+            break;
+        }
+        if (ip + 2 > src_len) return -LZ4TPU_E_TRUNCATED;
+        const int64_t offset = (int64_t)src[ip] | ((int64_t)src[ip + 1] << 8);
+        ip += 2;
+        if (offset == 0) return -LZ4TPU_E_OFFSET_ZERO;
+        int64_t mlen = var_length(src, src_len, &ip, token & 0x0F);
+        if (mlen < 0) return -LZ4TPU_E_TRUNCATED;
+        mlen += 4;
+        match_len[s] = (int32_t)mlen;
+        match_off[s] = (int32_t)offset;
+        out += mlen;
+        ++s;
+    }
+    *total_out = out;
+    return s;
+}
+
+// ---------------------------------------------------------------------------
+// Encoder: greedy hash-chain match finder producing standard LZ4 blocks
+// ---------------------------------------------------------------------------
+
+static inline uint32_t hash_seq(uint32_t v) {
+    return (v * 2654435761u) >> (32 - 16);  // 16-bit hash table
+}
+
+// Compress one block. `hist` may point at up to 64 KiB of preceding
+// output (linked blocks); pass hist_len = 0 for independent blocks.
+// Returns compressed size, or -1 if it would exceed dst capacity, or 0
+// for an empty input.
+int64_t lz4tpu_compress_block(
+    const uint8_t* hist, int64_t hist_len,
+    const uint8_t* src, int64_t src_len,
+    uint8_t* dst, int64_t dst_cap,
+    int32_t max_chain) {
+    if (src_len <= 0) return 0;
+
+    // Work over a virtual stream: positions [0, hist_len) are history,
+    // [hist_len, hist_len + src_len) are the bytes to encode.
+    // We require hist to be contiguous with src when hist_len > 0
+    // (callers pass a window into one buffer); otherwise hist_len == 0.
+    const uint8_t* base = (hist_len > 0) ? hist : src;
+    const int64_t start = hist_len;               // first pos to encode
+    const int64_t end = hist_len + src_len;        // one past last
+
+    static const int HASH_SIZE = 1 << 16;
+    // Per-call tables: head[h] = most recent position + 1 (0 = empty),
+    // chain[pos & 0xFFFF] links to the previous position with same hash.
+    // Window is 64 KiB so a 64 Ki chain ring suffices.
+    int64_t* head = new int64_t[HASH_SIZE];
+    int64_t* chain = new int64_t[1 << 16];
+    std::memset(head, 0, HASH_SIZE * sizeof(int64_t));
+    std::memset(chain, 0, (1 << 16) * sizeof(int64_t));
+
+    const int64_t MFLIMIT = 12;   // last 12 bytes are always literals
+    const int64_t MINMATCH = 4;
+    int64_t ip = start;
+    int64_t anchor = start;
+    int64_t op = 0;
+    const int64_t match_limit = end - 5;  // last match must start 12 from end
+
+    // Seed the tables with history positions so linked blocks can match
+    // into the previous 64 KiB.
+    for (int64_t p = (hist_len > (int64_t)0xFFFF ? hist_len - 0xFFFF : 0);
+         hist_len > 0 && p + MINMATCH <= hist_len; ++p) {
+        uint32_t h = hash_seq(read32(base + p));
+        chain[p & 0xFFFF] = head[h];
+        head[h] = p + 1;
+    }
+
+    #define EMIT_FAIL { delete[] head; delete[] chain; return -1; }
+
+    // Search the hash chain for the longest match at position p.
+    // Inserts p into the tables as a side effect.
+    int64_t last_inserted = -1;  // highest position added to the tables
+    auto find_match = [&](int64_t p, int64_t* pos_out) -> int64_t {
+        last_inserted = p;
+        uint32_t h = hash_seq(read32(base + p));
+        int64_t best_len = 0;
+        int64_t cand = head[h] - 1;
+        int tries = max_chain;
+        const int64_t maxl = match_limit - p;
+        while (cand >= 0 && cand + 0xFFFF >= p && tries-- > 0) {
+            if (cand < p && read32(base + cand) == read32(base + p)) {
+                int64_t l = MINMATCH;
+                while (l < maxl && base[cand + l] == base[p + l]) ++l;
+                if (l >= MINMATCH && l > best_len) {
+                    best_len = l;
+                    *pos_out = cand;
+                }
+            }
+            int64_t next = chain[cand & 0xFFFF] - 1;
+            if (next >= cand) break;  // stale ring entry: stop the walk
+            cand = next;
+        }
+        chain[p & 0xFFFF] = head[h];
+        head[h] = p + 1;
+        return best_len;
+    };
+
+    while (ip + MFLIMIT <= end) {
+        int64_t best_pos = -1;
+        int64_t best_len = find_match(ip, &best_pos);
+        if (best_len < MINMATCH) {
+            ++ip;
+            continue;
+        }
+
+        // Lazy evaluation: a longer match starting one byte later wins
+        // (repeat while it keeps improving).
+        while (ip + 1 + MFLIMIT <= end) {
+            int64_t pos1 = -1;
+            int64_t len1 = find_match(ip + 1, &pos1);
+            if (len1 > best_len + 1) {
+                best_len = len1;
+                best_pos = pos1;
+                ++ip;
+            } else {
+                break;
+            }
+        }
+
+        // Extend the match backwards over pending literals.
+        while (ip > anchor && best_pos > 0 &&
+               base[best_pos - 1] == base[ip - 1]) {
+            --ip;
+            --best_pos;
+            ++best_len;
+        }
+
+        // Emit sequence: literals [anchor, ip) + match (best_pos, best_len).
+        const int64_t lit = ip - anchor;
+        const int64_t offset = ip - best_pos;
+        int64_t mtoken = best_len - MINMATCH;
+        // token + worst-case length extensions + literals + offset
+        if (op + 1 + lit / 255 + 1 + lit + 2 + mtoken / 255 + 1 > dst_cap)
+            EMIT_FAIL;
+        uint8_t* tok = dst + op++;
+        *tok = 0;
+        if (lit >= 15) {
+            *tok = 15 << 4;
+            int64_t rest = lit - 15;
+            while (rest >= 255) { dst[op++] = 255; rest -= 255; }
+            dst[op++] = (uint8_t)rest;
+        } else {
+            *tok = (uint8_t)(lit << 4);
+        }
+        std::memcpy(dst + op, base + anchor, (size_t)lit);
+        op += lit;
+        dst[op++] = (uint8_t)(offset & 0xFF);
+        dst[op++] = (uint8_t)(offset >> 8);
+        if (mtoken >= 15) {
+            *tok |= 15;
+            int64_t rest = mtoken - 15;
+            while (rest >= 255) { dst[op++] = 255; rest -= 255; }
+            dst[op++] = (uint8_t)rest;
+        } else {
+            *tok |= (uint8_t)mtoken;
+        }
+
+        // Insert skipped positions into the chain (stride for speed on
+        // very long matches; dense elsewhere for ratio). Positions up to
+        // last_inserted are already in the tables — re-inserting one
+        // would self-loop its chain entry.
+        const int64_t insert_end = ip + best_len;
+        int64_t step = best_len >= 65536 ? 16 : 1;
+        for (int64_t p = last_inserted + 1;
+             p < insert_end && p + MINMATCH <= end; p += step) {
+            uint32_t hh = hash_seq(read32(base + p));
+            chain[p & 0xFFFF] = head[hh];
+            head[hh] = p + 1;
+            last_inserted = p;
+        }
+        ip += best_len;
+        anchor = ip;
+    }
+
+    // Final literals.
+    {
+        const int64_t lit = end - anchor;
+        if (op + 1 + lit / 255 + 1 + lit > dst_cap) EMIT_FAIL;
+        if (lit >= 15) {
+            dst[op++] = 15 << 4;
+            int64_t rest = lit - 15;
+            while (rest >= 255) { dst[op++] = 255; rest -= 255; }
+            dst[op++] = (uint8_t)rest;
+        } else {
+            dst[op++] = (uint8_t)(lit << 4);
+        }
+        std::memcpy(dst + op, base + anchor, (size_t)lit);
+        op += lit;
+    }
+    #undef EMIT_FAIL
+
+    delete[] head;
+    delete[] chain;
+    return op;
+}
+
+}  // extern "C"
