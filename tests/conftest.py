@@ -15,6 +15,15 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; the config
+# knob does work. Must happen before any backend initialization.
+try:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+
 import pytest  # noqa: E402
 
 VECTORS = pathlib.Path(
