@@ -104,6 +104,18 @@ def gather_bytes(comp: jax.Array, src: jax.Array) -> jax.Array:
     return jnp.take(comp, jnp.clip(-src - 1, 0, comp.shape[0] - 1))
 
 
+def doubling_iters(n_seqs: int) -> int:
+    """Doubling rounds: chain depth is bounded by the sequence count
+    (every hop lands in a strictly earlier sequence), so
+    ceil(log2(S)) + 1 rounds always suffice; capped at UNROLL_ITERS
+    (gathers are the dominant cost — do not run 16 rounds when 3
+    resolve everything)."""
+    iters = 1
+    while (1 << iters) < max(2, n_seqs) and iters < UNROLL_ITERS:
+        iters += 1
+    return min(UNROLL_ITERS, iters + 1)
+
+
 def resolve_sources(
     comp: jax.Array,
     out_start: jax.Array,
@@ -114,31 +126,26 @@ def resolve_sources(
     n_real: int,
     n_out: int,
     n_seqs: int | None = None,
-) -> jax.Array:
-    """Full device decode: returns decoded bytes, uint8 [n_out].
+) -> np.ndarray:
+    """Full device decode; returns decoded bytes as numpy uint8[n_out].
 
-    Chain depth is bounded by the number of sequences (every doubling
-    hop lands in a strictly earlier sequence), so ``ceil(log2(S))``
-    rounds always suffice; we add one for safety and cap at
-    UNROLL_ITERS (gathers are the dominant cost — do not run 16 rounds
-    when 3 resolve everything).
+    Output bytes and the convergence flag come back in one host fetch,
+    so the (rare) continue-doubling path costs an extra round trip but
+    the common path costs none beyond the output transfer itself.
     """
     if n_seqs is None:
         n_seqs = out_start.shape[0]
-    iters = 1
-    while (1 << iters) < max(2, n_seqs) and iters < UNROLL_ITERS:
-        iters += 1
-    iters = min(UNROLL_ITERS, iters + 1)
     src, unresolved = build_sources(
         out_start, lit_len, lit_src, match_off, produces,
-        jnp.int32(n_real), n_out, iters=iters,
+        jnp.int32(n_real), n_out, iters=doubling_iters(n_seqs),
     )
-    # Chains deeper than 2**16 sequences cannot occur in real streams
-    # (each hop crosses at least one sequence boundary), but stay
-    # correct anyway: keep doubling until converged.
-    while bool(unresolved):
+    out = gather_bytes(comp, src)
+    out_np, flag = jax.device_get((out, unresolved))
+    while bool(flag):
         src, unresolved = continue_doubling(src, n_out)
-    return gather_bytes(comp, src)
+        out = gather_bytes(comp, src)
+        out_np, flag = jax.device_get((out, unresolved))
+    return out_np
 
 
 def bucket(n: int, minimum: int = 1024) -> int:

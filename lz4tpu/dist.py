@@ -1,0 +1,207 @@
+"""Data-parallel LZ4 decode over a JAX device mesh.
+
+Sharding model (new capability vs the strictly single-threaded
+reference — see SURVEY.md section 2 "Parallelism strategies"):
+
+The decoded *output byte range* is split into equal spans, one per
+device (sequence tables and compressed bytes are replicated — they are
+small relative to output). Each device runs the byte-parallel resolver
+(lz4tpu/device/decode.py) on its span. LZ4 back-references reach at
+most 64 KiB backwards, so after local pointer doubling every pointer
+that escapes a span provably lands in the 64 KiB *tail* of some
+earlier span. One ``all_gather`` of those tails (64 KiB * 4 B per
+device) plus a short doubling pass over the gathered tails resolves
+all cross-span chains; a final per-device substitution and byte gather
+produce the span's output. Outputs land already ordered because the
+output array is sharded by span along the mesh axis.
+
+Communication = one all_gather over ICI; everything else is local.
+This scales the bandwidth-heavy phase linearly in devices while the
+exchange stays O(devices * 64 KiB).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .constants import HISTORY_SIZE
+
+AXIS = "dp"
+
+
+def _ceil_log2(n: int) -> int:
+    k = 0
+    while (1 << k) < n:
+        k += 1
+    return k
+
+
+def _local_resolve(
+    comp,            # uint8 [n_comp] replicated compressed bytes
+    out_start,       # int32 [S] replicated sequence table (global coords)
+    lit_len,
+    lit_src,
+    match_off,
+    produces,
+    n_real,          # int32 [] total real output size
+    *,
+    span: int,       # static: output bytes per device
+    w_tail: int,     # static: tail window (<= span)
+    local_iters: int,
+    tail_iters: int,
+):
+    """Runs inside shard_map; returns this device's span of output."""
+    d = jax.lax.axis_index(AXIS)
+    lo = d * span
+    pos = lo + jnp.arange(span, dtype=jnp.int32)
+
+    # Ownership map for this span. Sequences starting before the span
+    # scatter onto local position 0; scatter-max keeps the latest one,
+    # which is exactly the sequence that owns the span's first byte.
+    s_ids = jnp.arange(out_start.shape[0], dtype=jnp.int32)
+    local_start = jnp.where(
+        produces & (out_start < lo + span),
+        jnp.maximum(out_start - lo, 0),
+        span,  # dropped
+    )
+    claims = jnp.zeros((span,), jnp.int32).at[local_start].max(s_ids, mode="drop")
+    seq_id = jax.lax.cummax(claims)
+
+    os_ = jnp.take(out_start, seq_id)
+    ll = jnp.take(lit_len, seq_id)
+    ls = jnp.take(lit_src, seq_id)
+    mo = jnp.take(match_off, seq_id)
+
+    local = pos - os_
+    mstart = os_ + ll
+    lit_ptr = -(ls + local) - 1
+    match_ptr = mstart - mo + jax.lax.rem(pos - mstart, mo)
+    src = jnp.where(local < ll, lit_ptr, match_ptr)
+    src = jnp.where(pos < n_real, src, -1)
+
+    # Local pointer doubling. Pointers pointing before the span (an
+    # "escape") stay put; everything in-span resolves or becomes an
+    # escape value inherited from its source.
+    for _ in range(local_iters):
+        hop = jnp.take(src, jnp.clip(src - lo, 0, span - 1))
+        src = jnp.where(src >= lo, hop, src)
+
+    # Cross-span exchange: every escape lands in the last `w_tail`
+    # bytes of an earlier span (back-references reach < 64 KiB).
+    tail = jax.lax.dynamic_slice_in_dim(src, span - w_tail, w_tail)
+    tails = jax.lax.all_gather(tail, AXIS)           # [D, w_tail]
+    tails = tails.reshape(-1)                         # [D * w_tail]
+
+    def tail_index(p):
+        # global position -> index into the gathered tails
+        j = p // span
+        return j * w_tail + (p - (j + 1) * span + w_tail)
+
+    # Resolve chains *between* tails (an escape in one tail points
+    # into the previous tail, at most D-1 deep).
+    for _ in range(tail_iters):
+        t_idx = jnp.clip(tail_index(tails), 0, tails.shape[0] - 1)
+        hop = jnp.take(tails, t_idx)
+        tails = jnp.where(tails >= 0, hop, tails)
+
+    # Substitute this span's escapes through the resolved tails.
+    esc_idx = jnp.clip(tail_index(src), 0, tails.shape[0] - 1)
+    sub = jnp.take(tails, esc_idx)
+    src = jnp.where(src >= 0, sub, src)
+
+    return jnp.take(comp, jnp.clip(-src - 1, 0, comp.shape[0] - 1))
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (AXIS,))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("span", "w_tail", "local_iters", "tail_iters", "mesh"),
+)
+def _sharded_resolve(
+    comp, out_start, lit_len, lit_src, match_off, produces, n_real,
+    *, span, w_tail, local_iters, tail_iters, mesh,
+):
+    fn = functools.partial(
+        _local_resolve,
+        span=span,
+        w_tail=w_tail,
+        local_iters=local_iters,
+        tail_iters=tail_iters,
+    )
+    return jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P()),
+        out_specs=P(AXIS),
+    )(comp, out_start, lit_len, lit_src, match_off, produces, n_real)
+
+
+def decode_sharded(table, buf: np.ndarray, mesh: Mesh) -> np.ndarray:
+    """Decode a parsed+scanned buffer across all devices of `mesh`.
+
+    ``table`` is a lz4tpu.pipeline.SeqTable; returns uint8[n_out].
+    """
+    from .device import decode as dev
+
+    n_dev = mesh.devices.size
+    span = max(
+        1024, -(-table.n_out // n_dev)
+    )
+    span = (span + 127) & ~127  # keep lane-aligned spans
+    w_tail = min(HISTORY_SIZE, span)
+    s_pad = dev.bucket(max(table.out_start.size, 1), minimum=128)
+    comp_pad = dev.bucket(buf.size)
+    n_total = span * n_dev
+
+    local_iters = min(16, _ceil_log2(max(2, table.out_start.size)) + 1)
+    tail_iters = _ceil_log2(max(2, n_dev)) + 1
+
+    produces = (table.lit_len + table.match_len) > 0
+    out = _sharded_resolve(
+        jnp.asarray(dev.pad_to(buf, comp_pad, 0)),
+        jnp.asarray(dev.pad_to(table.out_start, s_pad, n_total)),
+        jnp.asarray(dev.pad_to(table.lit_len, s_pad, 0)),
+        jnp.asarray(dev.pad_to(table.lit_src, s_pad, 0)),
+        jnp.asarray(dev.pad_to(table.match_off, s_pad, 1)),
+        jnp.asarray(dev.pad_to(produces, s_pad, False)),
+        jnp.int32(table.n_out),
+        span=span,
+        w_tail=w_tail,
+        local_iters=local_iters,
+        tail_iters=tail_iters,
+        mesh=mesh,
+    )
+    return np.asarray(out[: table.n_out])
+
+
+def decompress_sharded(data, mesh: Mesh | None = None, reservation=None) -> bytes:
+    """One-shot data-parallel decode across a device mesh."""
+    from .constants import FOR_ALL
+    from .frame import parse_frames
+    from .pipeline import _verify_checksums, build_seq_table
+
+    if reservation is None:
+        reservation = FOR_ALL
+    if mesh is None:
+        mesh = make_mesh()
+    buf = np.frombuffer(bytes(data), dtype=np.uint8)
+    if buf.size == 0:
+        return b""
+    parsed = parse_frames(buf, reservation)
+    table = build_seq_table(buf, parsed, reservation, data)
+    if table.n_out == 0:
+        return b""
+    out = decode_sharded(table, buf, mesh)
+    _verify_checksums(buf, parsed, out, table)
+    return out.tobytes()

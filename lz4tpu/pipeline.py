@@ -205,6 +205,6 @@ def decompress_device(data, reservation: Reservation = FOR_ALL) -> bytes:
         n_out=n_out_pad,
         n_seqs=table.out_start.size,
     )
-    out_np = np.asarray(out[: table.n_out])
+    out_np = out[: table.n_out]
     _verify_checksums(buf, parsed, out_np, table)
     return out_np.tobytes()

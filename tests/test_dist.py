@@ -1,0 +1,47 @@
+"""Multi-device (shard_map) decode tests on the virtual 8-CPU mesh."""
+
+import jax
+import pytest
+
+from lz4tpu import compress, decompress_host
+from lz4tpu.dist import decompress_sharded, make_mesh
+from conftest import good_vector_names
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device backend")
+    return make_mesh()
+
+
+@pytest.mark.parametrize(
+    "name", [n for n in good_vector_names() if n in
+             ("t1111k", "b3444k", "z2841", "t100k", "concat390",
+              "z101legacyplus", "skipz100", "empty", "a2246", "t2")]
+)
+def test_sharded_matches_reference(vectors_dir, mesh, name):
+    data = (vectors_dir / f"{name}.lz4").read_bytes()
+    ref = (vectors_dir / f"{name}.bin").read_bytes()
+    assert decompress_sharded(data, mesh) == ref
+
+
+def test_sharded_z9m(vectors_dir, mesh):
+    out = decompress_sharded((vectors_dir / "z9m.lz4").read_bytes(), mesh)
+    assert len(out) == 9437166 and out == b"\x00" * len(out)
+
+
+def test_sharded_cross_span_chains(mesh):
+    """Data whose matches chain across the 8 span boundaries."""
+    payload = (b"abcdefghij" * 26 + b"X") * 500  # period crosses spans
+    frame = compress(payload, block_max_code=4)
+    assert decompress_sharded(frame, mesh) == payload
+    assert decompress_host(frame) == payload
+
+
+def test_sharded_partial_meshes(vectors_dir):
+    data = (vectors_dir / "t100k.lz4").read_bytes()
+    ref = (vectors_dir / "t100k.bin").read_bytes()
+    for n in (1, 2, 4):
+        if len(jax.devices()) >= n:
+            assert decompress_sharded(data, make_mesh(n)) == ref
