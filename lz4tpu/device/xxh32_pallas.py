@@ -1,0 +1,143 @@
+"""Pallas TPU kernel: xxhash32 (reference: lib/lz4ada.adb:923-1026).
+
+xxh32 is a sequentially chained hash: four u32 lane accumulators fed
+16-byte stripes, then a serial avalanche. The chain dependency cannot
+be parallelized (the update is not associative), so the TPU kernel is
+a scalar loop over stripes with the four lanes unrolled — exactly the
+reference's hot stripe loop (adb:979-991), executed on the TPU scalar
+core over SMEM-streamed words.
+
+Use cases and honest performance framing:
+
+- *Per-block checksums* batch naturally (one grid cell per block) and
+  keep verification on-device for device-resident pipelines.
+- *Throughput* is scalar-core bound (~tens of ns per 16-byte stripe).
+  For host-resident data the native C++ engine (lz4tpu/native) is much
+  faster; the pipeline defaults to it and offers this kernel via
+  ``verify="device"`` for data that should never leave HBM.
+
+The kernel computes the full lane state; the final avalanche over the
+<=15 tail bytes runs on the host (it touches a constant number of
+bytes).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..xxh32 import XXHash32
+
+P1 = 2654435761
+P2 = 2246822519
+_WORDS_PER_STEP = 2048  # words of SMEM per grid step (8 KiB)
+
+
+def _mul32(a, b):
+    # int32 wrap-around multiply (TPU int ops wrap; keep dtypes tight)
+    return (a * b).astype(jnp.int32)
+
+
+def _rotl(v, r: int):
+    u = v.astype(jnp.uint32)
+    return (
+        jax.lax.shift_left(u, jnp.uint32(r))
+        | jax.lax.shift_right_logical(u, jnp.uint32(32 - r))
+    ).astype(jnp.int32)
+
+
+def _xxh32_kernel(nstripes_ref, words_ref, state_ref):
+    """Accumulate lane state over this grid step's stripe words."""
+    chunk = pl.program_id(0)
+    base = chunk * (_WORDS_PER_STEP // 4)
+
+    @pl.when(chunk == 0)
+    def _():
+        seed = jnp.int32(0)
+        state_ref[0] = seed + jnp.int32(np.uint32((P1 + P2) & 0xFFFFFFFF).astype(np.int32))
+        state_ref[1] = seed + jnp.int32(np.uint32(P2).astype(np.int32))
+        state_ref[2] = seed
+        state_ref[3] = seed - jnp.int32(np.uint32(P1).astype(np.int32))
+
+    n_stripes = nstripes_ref[0]
+
+    def body(i, _):
+        @pl.when(base + i < n_stripes)
+        def _():
+            p2 = jnp.int32(np.uint32(P2).astype(np.int32))
+            p1 = jnp.int32(np.uint32(P1).astype(np.int32))
+            for lane in range(4):
+                w = words_ref[i * 4 + lane]
+                s = state_ref[lane]
+                state_ref[lane] = _mul32(_rotl(s + _mul32(w, p2), 13), p1)
+        return 0
+
+    jax.lax.fori_loop(0, _WORDS_PER_STEP // 4, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("grid", "interpret"))
+def _lane_state(nstripes, words, *, grid: int, interpret: bool):
+    return pl.pallas_call(
+        _xxh32_kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (_WORDS_PER_STEP,), lambda c: (c,), memory_space=pltpu.SMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((4,), jnp.int32),
+        interpret=interpret,
+    )(nstripes, words)
+
+
+def xxh32_device(data: np.ndarray, interpret: bool = False) -> int:
+    """xxh32(seed=0) of a byte buffer with the stripe loop on device.
+
+    Bit-exact with the reference; the tail (< 16 bytes) and avalanche
+    fold run on the host.
+    """
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    n = data.size
+    n_stripes = n // 16
+    if n_stripes == 0:
+        return XXHash32().update(data.tobytes()).final()
+    body = data[: n_stripes * 16]
+    words = body.view("<u4").astype(np.int32)
+    pad = (-words.size) % _WORDS_PER_STEP
+    words = np.concatenate([words, np.zeros(pad, np.int32)])
+    state = _lane_state(
+        jnp.asarray(np.array([n_stripes], np.int32)),
+        jnp.asarray(words),
+        grid=words.size // _WORDS_PER_STEP,
+        interpret=interpret,
+    )
+    s0, s1, s2, s3 = (int(x) & 0xFFFFFFFF for x in np.asarray(jax.device_get(state)))
+
+    def rotl(v, r):
+        return ((v << r) | (v >> (32 - r))) & 0xFFFFFFFF
+
+    h = (rotl(s0, 1) + rotl(s1, 7) + rotl(s2, 12) + rotl(s3, 18)) & 0xFFFFFFFF
+    h = (h + n) & 0xFFFFFFFF
+    tail = data[n_stripes * 16:]
+    i = 0
+    P3, P4, P5 = 3266489917, 668265263, 374761393
+    while i + 4 <= tail.size:
+        w = int.from_bytes(tail[i:i + 4].tobytes(), "little")
+        h = (rotl((h + w * P3) & 0xFFFFFFFF, 17) * P4) & 0xFFFFFFFF
+        i += 4
+    while i < tail.size:
+        h = (rotl((h + int(tail[i]) * P5) & 0xFFFFFFFF, 11) * P1) & 0xFFFFFFFF
+        i += 1
+    h ^= h >> 15
+    h = (h * P2) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 3266489917) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h

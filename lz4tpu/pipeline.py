@@ -35,6 +35,18 @@ from .xxh32 import xxh32
 
 
 @dataclasses.dataclass
+class BlockSpan:
+    """Seq-table/output span of one block (for chain dispatch)."""
+
+    frame_id: int
+    seq_lo: int
+    seq_hi: int
+    out_lo: int
+    out_hi: int
+    independent: bool
+
+
+@dataclasses.dataclass
 class SeqTable:
     """Global structure-of-arrays sequence table for a whole buffer."""
 
@@ -45,6 +57,7 @@ class SeqTable:
     match_off: np.ndarray   # int32 [S] >= 1 always
     n_out: int
     frame_out_start: np.ndarray  # int64 [F+1] output offsets of frame bounds
+    spans: list = dataclasses.field(default_factory=list)  # [BlockSpan]
 
 
 def _oracle_rerun(data: bytes, reservation: Reservation) -> bytes:
@@ -81,11 +94,19 @@ def build_seq_table(
     from . import native
 
     chunks: list[tuple[np.ndarray, ...]] = []
+    spans: list[BlockSpan] = []
     n_out = 0
+    n_seq = 0
     frame_bounds = [0] * (len(parsed.frames) + 1)
     for frame in parsed.frames:
         frame_start_out = n_out
         for blk in frame.blocks:
+            span = BlockSpan(
+                frame_id=frame.frame_id,
+                seq_lo=n_seq, seq_hi=n_seq,
+                out_lo=n_out, out_hi=n_out,
+                independent=frame.block_independence,
+            )
             payload = buf[blk.comp_off:blk.comp_off + blk.comp_len]
             if not blk.is_compressed:
                 chunks.append(
@@ -98,6 +119,10 @@ def build_seq_table(
                     )
                 )
                 n_out += blk.comp_len
+                n_seq += 1
+                span.seq_hi = n_seq
+                span.out_hi = n_out
+                spans.append(span)
                 continue
             status, ll, ls, ml, mo, total = native.scan_sequences(payload)
             if status != native.OK:
@@ -125,6 +150,10 @@ def build_seq_table(
                 )
             )
             n_out += total
+            n_seq += ll.size
+            span.seq_hi = n_seq
+            span.out_hi = n_out
+            spans.append(span)
         frame_bounds[frame.frame_id + 1] = n_out
 
         # Content size accounting (reference: lz4ada.adb:469-476,
@@ -148,6 +177,7 @@ def build_seq_table(
         match_off=np.maximum(cols[4], 1),
         n_out=n_out,
         frame_out_start=np.array(frame_bounds, np.int64),
+        spans=spans,
     )
 
 
@@ -174,8 +204,75 @@ def _verify_checksums(
                 raise err_content_checksum(computed, frame.content_checksum)
 
 
-def decompress_device(data, reservation: Reservation = FOR_ALL) -> bytes:
-    """Decode a whole buffer via the device pipeline."""
+def _chains_of(table: SeqTable) -> list[BlockSpan]:
+    """Group block spans into decode chains: independent blocks stand
+    alone; linked blocks of a frame merge into one sequential chain."""
+    chains: list[BlockSpan] = []
+    for span in table.spans:
+        if (
+            chains
+            and not span.independent
+            and chains[-1].frame_id == span.frame_id
+            and not chains[-1].independent
+        ):
+            chains[-1].seq_hi = span.seq_hi
+            chains[-1].out_hi = span.out_hi
+        else:
+            chains.append(dataclasses.replace(span))
+    return chains
+
+
+def _decode_pallas(
+    buf: np.ndarray, parsed: ParseResult, table: SeqTable, interpret: bool
+) -> np.ndarray:
+    """Chain-wise decode through the Pallas segment-copy kernel."""
+    from .device import pallas_decode as pk
+
+    out = np.empty(table.n_out, np.uint8)
+    for chain in _chains_of(table):
+        n_loc = chain.out_hi - chain.out_lo
+        if n_loc == 0:
+            continue
+        fr = parsed.frames[chain.frame_id]
+        sl = slice(chain.seq_lo, chain.seq_hi)
+        out[chain.out_lo:chain.out_hi] = pk.decode_chain(
+            buf[fr.start:fr.end],
+            (table.out_start[sl] - chain.out_lo).astype(np.int32),
+            (table.lit_src[sl] - fr.start).astype(np.int32),
+            table.lit_len[sl],
+            table.match_off[sl],
+            table.match_len[sl],
+            n_loc,
+            interpret=interpret,
+        )
+    return out
+
+
+def _pallas_fits(table: SeqTable, parsed: ParseResult) -> bool:
+    from .device import pallas_decode as pk
+
+    for chain in _chains_of(table):
+        fr = parsed.frames[chain.frame_id]
+        if chain.out_hi - chain.out_lo > pk.MAX_CHAIN_OUT:
+            return False
+        if fr.end - fr.start > pk.MAX_CHAIN_COMP:
+            return False
+    return True
+
+
+def decompress_device(
+    data,
+    reservation: Reservation = FOR_ALL,
+    engine: str = "auto",
+    interpret: bool = False,
+) -> bytes:
+    """Decode a whole buffer via the device pipeline.
+
+    engine: "pallas" (segment-copy kernel, chain-wise), "resolve"
+    (byte-parallel XLA resolver), or "auto" (pallas on TPU when every
+    chain fits VMEM, resolve otherwise).
+    """
+    import jax
     import jax.numpy as jnp
 
     from .device import decode as dev
@@ -187,6 +284,16 @@ def decompress_device(data, reservation: Reservation = FOR_ALL) -> bytes:
     table = build_seq_table(buf, parsed, reservation, data)
     if table.n_out == 0:
         return b""
+
+    if engine == "auto":
+        on_tpu = jax.devices()[0].platform != "cpu"
+        engine = (
+            "pallas" if on_tpu and _pallas_fits(table, parsed) else "resolve"
+        )
+    if engine == "pallas":
+        out_np = _decode_pallas(buf, parsed, table, interpret)
+        _verify_checksums(buf, parsed, out_np, table)
+        return out_np.tobytes()
 
     n_out_pad = dev.bucket(table.n_out)
     s_pad = dev.bucket(table.out_start.size, minimum=128)
