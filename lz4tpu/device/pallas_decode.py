@@ -223,7 +223,7 @@ def _chain_decode(
     )(n_seqs, comp_words, tbl)
 
 
-def decode_chain(
+def decode_chain_device(
     comp: np.ndarray,        # uint8: chain-relevant slice of the input
     dst: np.ndarray,         # int32 [S] output byte offsets (chain-local)
     lit_src: np.ndarray,     # int32 [S] literal offsets into `comp`
@@ -232,8 +232,12 @@ def decode_chain(
     match_len: np.ndarray,   # int32 [S]
     n_out: int,
     interpret: bool = False,
-) -> np.ndarray:
-    """Decode one chain on the device; returns uint8[n_out]."""
+):
+    """Decode one chain; returns the device output handle (word rows).
+
+    Decoded bytes live at flat byte offsets [PAD_BYTES, PAD_BYTES+n_out)
+    of the returned (rows, 128) int32 array.
+    """
     s = dst.size
     s_pad = _bucket(max(s, 1), minimum=SEQ_CHUNK)
     s_pad = ((s_pad + SEQ_CHUNK - 1) // SEQ_CHUNK) * SEQ_CHUNK
@@ -244,6 +248,10 @@ def decode_chain(
     tbl[:s, 2] = lit_len
     tbl[:s, 3] = np.maximum(match_off, 1)
     tbl[:s, 4] = match_len
+    # padded rows must be harmless no-ops
+    tbl[s:, 0] = PAD_BYTES
+    tbl[s:, 1] = PAD_BYTES
+    tbl[s:, 3] = 1
 
     comp_rows = _bucket(_rows_for(PAD_BYTES + comp.size))
     comp_words = np.zeros((comp_rows, 128), np.int32)
@@ -251,12 +259,29 @@ def decode_chain(
     flat[PAD_BYTES:PAD_BYTES + comp.size] = comp
 
     out_rows = _bucket(_rows_for(PAD_BYTES + n_out))
-    out = _chain_decode(
+    return _chain_decode(
         jnp.asarray(np.array([s], np.int32)),
         jnp.asarray(comp_words),
         jnp.asarray(tbl.reshape(-1)),
         out_rows=out_rows,
         grid=s_pad // SEQ_CHUNK,
+        interpret=interpret,
+    )
+
+
+def decode_chain(
+    comp: np.ndarray,
+    dst: np.ndarray,
+    lit_src: np.ndarray,
+    lit_len: np.ndarray,
+    match_off: np.ndarray,
+    match_len: np.ndarray,
+    n_out: int,
+    interpret: bool = False,
+) -> np.ndarray:
+    """Decode one chain on the device; returns uint8[n_out] on host."""
+    out = decode_chain_device(
+        comp, dst, lit_src, lit_len, match_off, match_len, n_out,
         interpret=interpret,
     )
     out_np = np.asarray(jax.device_get(out))

@@ -72,6 +72,10 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.lz4tpu_compress_block.argtypes = [
         u8p, c.c_int64, u8p, c.c_int64, u8p, c.c_int64, c.c_int32,
     ]
+    lib.lz4tpu_compress_block_opt.restype = c.c_int64
+    lib.lz4tpu_compress_block_opt.argtypes = [
+        u8p, c.c_int64, u8p, c.c_int64, u8p, c.c_int64, c.c_int32,
+    ]
     return lib
 
 
@@ -190,8 +194,11 @@ def scan_sequences(src) -> tuple[int, np.ndarray, np.ndarray, np.ndarray, np.nda
     )
 
 
-def compress_block(src, hist: bytes = b"", max_chain: int = 64) -> bytes:
-    """Greedy hash-chain LZ4 block compression (optionally linked)."""
+def compress_block(
+    src, hist: bytes = b"", max_chain: int = 64, optimal: bool = False
+) -> bytes:
+    """LZ4 block compression: lazy hash-chain matcher, or the exact
+    backward-DP optimal parse when ``optimal`` (slower, best ratio)."""
     src_b = bytes(src)
     if not src_b:
         return b""
@@ -203,7 +210,12 @@ def compress_block(src, hist: bytes = b"", max_chain: int = 64) -> bytes:
         hist_len = 0
     cap = len(src_b) + len(src_b) // 128 + 64
     dst = np.empty(cap, dtype=np.uint8)
-    n = _get().lz4tpu_compress_block(
+    fn = (
+        _get().lz4tpu_compress_block_opt
+        if optimal
+        else _get().lz4tpu_compress_block
+    )
+    n = fn(
         _u8ptr(joined), hist_len,
         _u8ptr(joined[hist_len:]) if hist_len else _u8ptr(joined), len(src_b),
         _u8ptr(dst), cap, max_chain,

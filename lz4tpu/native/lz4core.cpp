@@ -43,6 +43,22 @@ static inline uint32_t read32(const uint8_t* p) {
     return v;  // little-endian hosts only, like the reference
 }
 
+static inline uint64_t read64(const uint8_t* p) {
+    uint64_t v;
+    std::memcpy(&v, p, 8);
+    return v;
+}
+
+// Extend a match [cand, ip) forward up to maxl bytes, 8 at a time.
+static inline int64_t extend_match(const uint8_t* base, int64_t cand,
+                                   int64_t ip, int64_t from, int64_t maxl) {
+    int64_t l = from;
+    while (l + 8 <= maxl && read64(base + cand + l) == read64(base + ip + l))
+        l += 8;
+    while (l < maxl && base[cand + l] == base[ip + l]) ++l;
+    return l;
+}
+
 typedef struct {
     uint32_t s0, s1, s2, s3;
     uint64_t total;
@@ -367,6 +383,7 @@ int64_t lz4tpu_compress_block(
                     best_len = l;
                     *pos_out = cand;
                 }
+                if (best_len >= maxl) break;  // cannot improve
             }
             int64_t next = chain[cand & 0xFFFF] - 1;
             if (next >= cand) break;  // stale ring entry: stop the walk
@@ -473,6 +490,247 @@ int64_t lz4tpu_compress_block(
 
     delete[] head;
     delete[] chain;
+    return op;
+}
+
+// ---------------------------------------------------------------------------
+// Optimal-parse encoder (exact LZ4 pricing via backward DP)
+// ---------------------------------------------------------------------------
+
+static inline int64_t ext_len_price(int64_t v) {
+    // extra bytes to encode a 4-bit length field value of v (v = litlen
+    // or matchlen-4): 0 if < 15, else 1 + (v-15)/255
+    return v < 15 ? 0 : 1 + (v - 15) / 255;
+}
+
+// Optimal parse: per position longest match (hash chain), then a
+// backward DP over exact sequence prices:
+//   cost[i] = min( LIT(n-i),
+//                  min_j  1 + ext(j-i) + (j-i) + B[j] )
+//   B[j]    = min_m  2 + ext(m-4) + cost[j+m]
+// The literal-run coupling is handled exactly for runs < 15 via a
+// sliding-window minimum and for runs >= 15 via a suffix minimum
+// (runs >= 270 may price 1 byte optimistically; the all-literal LIT
+// candidate keeps the emitted stream always valid and near-optimal).
+int64_t lz4tpu_compress_block_opt(
+    const uint8_t* hist, int64_t hist_len,
+    const uint8_t* src, int64_t src_len,
+    uint8_t* dst, int64_t dst_cap,
+    int32_t max_chain) {
+    if (src_len <= 0) return 0;
+    const uint8_t* base = (hist_len > 0) ? hist : src;
+    const int64_t start = hist_len;
+    const int64_t end = hist_len + src_len;
+    const int64_t n = src_len;
+
+    static const int HASH_SIZE = 1 << 16;
+    int64_t* head = new int64_t[HASH_SIZE]();
+    int64_t* chain = new int64_t[1 << 16]();
+    int32_t* mlen = new int32_t[n];     // longest match at start+i
+    int32_t* moff = new int32_t[n];
+
+    for (int64_t p = (hist_len > 0xFFFF ? hist_len - 0xFFFF : 0);
+         hist_len > 0 && p + 4 <= hist_len; ++p) {
+        uint32_t h = hash_seq(read32(base + p));
+        chain[p & 0xFFFF] = head[h];
+        head[h] = p + 1;
+    }
+
+    const int64_t match_limit = end - 5;   // matches end at most here
+    const int64_t last_start = end - 12;   // matches start at most here
+    int64_t capped_off = 0;                // carry for limit-capped matches
+    for (int64_t ip = start; ip < end; ++ip) {
+        const int64_t i = ip - start;
+        mlen[i] = 0;
+        moff[i] = 0;
+        if (ip <= last_start) {
+            // A previous match that ran into match_limit stays maximal
+            // when shifted forward: reuse it instead of re-extending
+            // (turns runs/periodic data from O(n^2) into O(n)).
+            if (capped_off > 0 && match_limit - ip >= 4) {
+                mlen[i] = (int32_t)(match_limit - ip);
+                moff[i] = (int32_t)capped_off;
+                uint32_t h0 = hash_seq(read32(base + ip));
+                chain[ip & 0xFFFF] = head[h0];
+                head[h0] = ip + 1;
+                continue;
+            }
+            uint32_t h = hash_seq(read32(base + ip));
+            int64_t cand = head[h] - 1;
+            int tries = max_chain;
+            int64_t best = 0, bpos = -1;
+            const int64_t maxl = match_limit - ip;
+            while (cand >= 0 && cand + 0xFFFF >= ip && tries-- > 0) {
+                if (cand < ip && read32(base + cand) == read32(base + ip)) {
+                    int64_t l = extend_match(base, cand, ip, 4, maxl);
+                    if (l >= 4 && l > best) { best = l; bpos = cand; }
+                    if (best >= maxl) break;  // cannot improve
+                }
+                int64_t next = chain[cand & 0xFFFF] - 1;
+                if (next >= cand) break;
+                cand = next;
+            }
+            if (best >= 4) {
+                mlen[i] = (int32_t)best;
+                moff[i] = (int32_t)(ip - bpos);
+                capped_off = (best >= maxl) ? (ip - bpos) : 0;
+            } else {
+                capped_off = 0;
+            }
+            chain[ip & 0xFFFF] = head[h];
+            head[h] = ip + 1;
+        } else {
+            capped_off = 0;
+        }
+    }
+    delete[] head;
+    delete[] chain;
+
+    // Backward DP.
+    const int64_t INF = INT64_C(1) << 50;
+    int64_t* cost = new int64_t[n + 1];
+    int32_t* pick_m = new int32_t[n + 1]();   // chosen match len at j (B[j])
+    int64_t* bestB = new int64_t[n + 1];
+    int32_t* pick_j = new int32_t[n + 1]();   // chosen match start from i
+    // sliding-window min of key(j) = B[j] + j over window [i, i+14]
+    int64_t* suffix_min = new int64_t[n + 2];
+    // monotonic deque over indices
+    int64_t* dq = new int64_t[n + 1];
+    int64_t dq_lo = 0, dq_hi = 0;  // [lo, hi)
+
+    cost[n] = 0;
+    suffix_min[n] = INF;
+    suffix_min[n + 1] = INF;
+    for (int64_t i = n - 1; i >= 0; --i) {
+        // B[i]: best match-part price if a match starts exactly at i.
+        // Candidate lengths: all token-only lengths (4..18), the
+        // maximum, a few just below it, and the extension-byte segment
+        // boundaries near the maximum — longer candidates within a
+        // segment always dominate on price ties, so this set preserves
+        // optimality in practice while keeping the DP O(n).
+        int64_t B = INF;
+        int32_t bm = 0;
+        const int64_t L = mlen[i];
+        auto try_m = [&](int64_t m) {
+            if (m < 4 || m > L) return;
+            int64_t c = 2 + ext_len_price(m - 4) + cost[i + m];
+            if (c < B) { B = c; bm = (int32_t)m; }
+        };
+        const int64_t short_top = L < 18 ? L : 18;
+        for (int64_t m = 4; m <= short_top; ++m) try_m(m);
+        if (L > 18) {
+            for (int64_t m = L; m > L - 4 && m > 18; --m) try_m(m);
+            // mext segment boundaries: 18, 273, 528, ... (last length
+            // before another extension byte is needed)
+            const int64_t seg = (L - 19) / 255;
+            for (int64_t k = 0; k < 4 && seg - k >= 0; ++k)
+                try_m(18 + 255 * (seg - k));
+        }
+        bestB[i] = B;
+        pick_m[i] = bm;
+
+        // push i into the window structures
+        const int64_t key = (B >= INF) ? INF : B + i;
+        while (dq_hi > dq_lo && (bestB[dq[dq_hi - 1]] >= INF
+               ? INF : bestB[dq[dq_hi - 1]] + dq[dq_hi - 1]) >= key)
+            --dq_hi;
+        dq[dq_hi++] = i;
+        while (dq[dq_lo] > i + 14) ++dq_lo;  // never triggers here; kept
+        suffix_min[i] = key < suffix_min[i + 1] ? key : suffix_min[i + 1];
+
+        // candidate: all-literal tail
+        int64_t best = 1 + ext_len_price(n - i) + (n - i);
+        int64_t bj = -1;
+        // candidate: short literal run (< 15) then a match — exact
+        // evict deque entries beyond the window [i, i+14]
+        while (dq_hi > dq_lo && dq[dq_lo] > i + 14) ++dq_lo;
+        if (dq_hi > dq_lo) {
+            int64_t j = dq[dq_lo];
+            int64_t k = bestB[j] >= INF ? INF : bestB[j] + j;
+            if (k < INF) {
+                int64_t c = 1 + (k - i);
+                if (c < best) { best = c; bj = j; }
+            }
+        }
+        // candidate: literal run >= 15 then a match
+        if (i + 15 <= n - 1 && suffix_min[i + 15] < INF) {
+            int64_t c = 2 + (suffix_min[i + 15] - i);
+            if (c < best) {
+                best = c;
+                bj = -2;  // resolved during emission by re-scan
+            }
+        }
+        cost[i] = best;
+        pick_j[i] = (int32_t)(bj >= 0 ? bj : bj);
+    }
+
+    // Emission.
+    #define OPT_FAIL { delete[] cost; delete[] pick_m; delete[] bestB; \
+                       delete[] pick_j; delete[] suffix_min; delete[] dq; \
+                       delete[] mlen; delete[] moff; return -1; }
+    int64_t op = 0;
+    int64_t i = 0;
+    while (i < n) {
+        int64_t j;
+        if (pick_j[i] == -1) {
+            j = n;  // tail literals
+        } else if (pick_j[i] == -2) {
+            // long-run choice: find the j >= i+15 achieving suffix_min
+            j = i + 15;
+            while (j < n && ((bestB[j] >= INF ? INF : bestB[j] + j)
+                             != suffix_min[i + 15]))
+                ++j;
+        } else {
+            j = pick_j[i];
+        }
+        const int64_t lit = j - i;
+        if (j >= n) {
+            if (op + 1 + ext_len_price(lit) + lit > dst_cap) OPT_FAIL;
+            if (lit >= 15) {
+                dst[op++] = 15 << 4;
+                int64_t rest = lit - 15;
+                while (rest >= 255) { dst[op++] = 255; rest -= 255; }
+                dst[op++] = (uint8_t)rest;
+            } else {
+                dst[op++] = (uint8_t)(lit << 4);
+            }
+            std::memcpy(dst + op, src + i, (size_t)lit);
+            op += lit;
+            break;
+        }
+        const int64_t m = pick_m[j];
+        const int64_t off = moff[j];
+        if (op + 1 + ext_len_price(lit) + lit + 2 + ext_len_price(m - 4) + 1
+            > dst_cap)
+            OPT_FAIL;
+        uint8_t* tok = dst + op++;
+        *tok = 0;
+        if (lit >= 15) {
+            *tok = 15 << 4;
+            int64_t rest = lit - 15;
+            while (rest >= 255) { dst[op++] = 255; rest -= 255; }
+            dst[op++] = (uint8_t)rest;
+        } else {
+            *tok = (uint8_t)(lit << 4);
+        }
+        std::memcpy(dst + op, src + i, (size_t)lit);
+        op += lit;
+        dst[op++] = (uint8_t)(off & 0xFF);
+        dst[op++] = (uint8_t)(off >> 8);
+        if (m - 4 >= 15) {
+            *tok |= 15;
+            int64_t rest = m - 4 - 15;
+            while (rest >= 255) { dst[op++] = 255; rest -= 255; }
+            dst[op++] = (uint8_t)rest;
+        } else {
+            *tok |= (uint8_t)(m - 4);
+        }
+        i = j + m;
+    }
+    #undef OPT_FAIL
+
+    delete[] cost; delete[] pick_m; delete[] bestB; delete[] pick_j;
+    delete[] suffix_min; delete[] dq; delete[] mlen; delete[] moff;
     return op;
 }
 

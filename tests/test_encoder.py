@@ -33,28 +33,38 @@ def test_round_trip(payload, indep):
 
 
 @pytest.mark.parametrize(
-    "name",
-    [
-        # t100k/t1111k need the optimal parser (reference vectors are
-        # lz4 -9 grade on synthetic text); lazy hash-chain already wins
-        # on the other corpora. TODO(encoder): drop the xfails once the
-        # optimal parse lands.
-        pytest.param("t100k", marks=pytest.mark.xfail(strict=False)),
-        pytest.param("t1111k", marks=pytest.mark.xfail(strict=False)),
-        "z2841",
-        "b3444k",
-        "a2246",
-    ],
+    "name", ["t100k", "t1111k", "z2841", "b3444k", "a2246"]
 )
 def test_size_not_worse_than_reference(vectors_dir, name):
-    """Our frames must not be larger than the reference .lz4 vectors."""
+    """Frames from the optimal parser (level >= 10) must not be larger
+    than the reference .lz4 vectors (north-star acceptance)."""
     ref_frame = (vectors_dir / f"{name}.lz4").read_bytes()
     payload = (vectors_dir / f"{name}.bin").read_bytes()
-    ours = compress(payload, block_max_code=7, content_checksum=True)
+    ours = compress(
+        payload, block_max_code=7, content_checksum=True, level=12,
+        max_chain=256,
+    )
     assert decompress_host(ours) == payload
     assert len(ours) <= len(ref_frame), (
         f"{name}: ours {len(ours)} > reference {len(ref_frame)}"
     )
+
+
+@pytest.mark.parametrize(
+    "payload",
+    [
+        b"",
+        b"\x00" * 100_000,
+        b"Hello, world.\n" * 997,
+        os.urandom(30_000),
+        b"ab" * 9 + b"Q" + b"ab" * 200,
+    ],
+    ids=["empty", "zeros", "text", "random", "tricky"],
+)
+def test_optimal_round_trip(payload):
+    frame = compress(payload, block_max_code=4, level=12,
+                     block_checksum=True, content_size=True)
+    assert decompress_host(frame) == payload
 
 
 def test_concatenated_own_frames():
