@@ -61,7 +61,9 @@ _MIN_SELF_OFF = 8   # below this, self-overlap rewriting explodes; punt
 class DensePack:
     """Device-ready packing of one or more dense chains."""
 
-    tbl: np.ndarray        # int32 [n_sub, SLOTS]: ll | ml<<8 | off<<16
+    tbl: np.ndarray        # int32 [n_sub, SLOTS]: ll | ml<<8 | off<<15
+                           # (ml is 7 bits <=127; off is 17 bits so
+                           # packer rewrites can reach 64KiB+SUB back)
     scal: np.ndarray       # int32 [n_sub, 8]: [local_base, lit_base, ...]
     bmap: np.ndarray       # int32 [n_sub, SUB//32] slot-start bitmap
     lit: np.ndarray        # uint8 [lit_rows * ROWB] literal stream
@@ -87,6 +89,7 @@ class _SubPacker:
         self.meta: list = []       # (dst, ll, ml, off, lit_pos) per slot
         self.fill = 0
         self.litbase = len(self.lit)
+        self.cur_self = False      # substep contains punted self slots
 
     def _end(self):
         assert self.fill == SUB and len(self.cur) <= SLOTS
@@ -94,7 +97,8 @@ class _SubPacker:
         row[: len(self.cur)] = self.cur
         self.tbl_rows.append(row.view(np.int32))
         self.scal_rows.append(
-            np.array([0, self.litbase, 0, 0, 0, 0, 0, 0], np.int32)
+            np.array([0, self.litbase, int(self.cur_self), 0, 0, 0, 0, 0],
+                     np.int32)
         )
         bits = np.zeros(SUB, np.uint8)
         bits[[m[0] for m in self.meta]] = 1
@@ -115,9 +119,10 @@ class _SubPacker:
     def _slot(self, ll, ml, off, lit_pos):
         if len(self.cur) >= SLOTS:
             raise OverflowError("slot budget exceeded")
+        assert ml <= 127 and off < (1 << 17)
         self.cur.append(
             np.uint32(ll) | np.uint32(ml) << np.uint32(8)
-            | np.uint32(off) << np.uint32(16)
+            | np.uint32(off) << np.uint32(15)
         )
         self.meta.append((self.fill, ll, ml, off, lit_pos))
         self.fill += ll + ml
@@ -161,10 +166,10 @@ class _SubPacker:
         return (kind, v), min(run, run2)
 
     def push_match(self, ml: int, off: int):
-        """Match run, split into substep/255-byte chunks; intra-substep
+        """Match run, split into substep/127-byte chunks; intra-substep
         sources rewritten to ring offsets or re-appended literals."""
         while ml > 0:
-            take = min(ml, 255, self.room())
+            take = min(ml, 127, self.room())
             src = self.fill - off
             if src + min(take, off) <= 0:
                 # collapsed sources [src, src+min(take,off)) all in the
@@ -186,6 +191,7 @@ class _SubPacker:
                 res = self._resolve(src)
             if res is None:
                 self.has_self = True
+                self.cur_self = True
                 self._slot(0, take, off, 0)
                 ml -= take
                 continue
@@ -196,12 +202,14 @@ class _SubPacker:
                 # stays exact (cheap: rewrites are rare)
                 self.push_lit(bytes(self.lit[v:v + take]))
             else:
-                new_off = self.fill - v      # v is negative local pos
-                if new_off > 65535:
+                # v is a negative substep-local position; the ring only
+                # holds the 64 KiB before the substep base
+                if v < -65536:
                     self.has_self = True
+                    self.cur_self = True
                     self._slot(0, take, off, 0)
                 else:
-                    self._slot(0, take, new_off, 0)
+                    self._slot(0, take, self.fill - v, 0)
             ml -= take
 
     def finish_chain(self):
@@ -260,6 +268,65 @@ def pack_dense(
                      out_spans=out_spans, has_self=pk.has_self)
 
 
+def pack_dense_native(
+    lit_len: np.ndarray,
+    match_len: np.ndarray,
+    match_off: np.ndarray,
+    lit_src: np.ndarray,
+    buf: np.ndarray,
+    chain_bounds: list | None = None,
+    chain_ranges: list | None = None,
+) -> DensePack:
+    """Native-engine packer: identical output to :func:`pack_dense`
+    (asserted by tests), ~100x faster.  Reads literal bytes straight
+    from the input buffer via ``lit_src``.  ``chain_ranges`` selects
+    possibly non-adjacent [lo, hi) sequence ranges, one per chain."""
+    from .. import native
+
+    if chain_ranges is None:
+        bounds = (chain_bounds if chain_bounds is not None
+                  else [0, lit_len.size])
+        chain_ranges = list(zip(bounds[:-1], bounds[1:]))
+    total_out = int(
+        sum(int(lit_len[lo:hi].sum() + match_len[lo:hi].sum())
+            for lo, hi in chain_ranges)
+    )
+    max_sub = total_out // SUB + len(chain_ranges) + 4
+    lit_total = int(sum(int(lit_len[lo:hi].sum()) for lo, hi in chain_ranges))
+    lit_cap = (lit_total + max(total_out // 4, 1 << 20)
+               + len(chain_ranges) * SUB + LITROWS * ROWB + ROWB)
+    # np.empty: the native packer fully writes every row it reports,
+    # and unselected literal-window bytes are never routed by a one-hot
+    tbl = np.empty((max_sub, SLOTS), np.int32)
+    scal = np.empty((max_sub, 8), np.int32)
+    bmap = np.empty((max_sub, SUB // 32), np.int32)
+    lit = np.empty(lit_cap, np.uint8)
+    ll = np.ascontiguousarray(lit_len, np.int32)
+    ls = np.ascontiguousarray(lit_src, np.int32)
+    ml = np.ascontiguousarray(match_len, np.int32)
+    mo = np.ascontiguousarray(match_off, np.int32)
+
+    sub_base = 0
+    lit_base = 0
+    has_self = False
+    out_spans = []
+    for c, (lo, hi) in enumerate(chain_ranges):
+        n_sub, lit_base, hs = native.pack_dense_chain(
+            buf, ll[lo:hi], ls[lo:hi], ml[lo:hi], mo[lo:hi],
+            tbl, scal, bmap, lit, sub_base, lit_base,
+        )
+        has_self = has_self or hs
+        out_len = int(ll[lo:hi].sum() + ml[lo:hi].sum())
+        out_spans.append((c, sub_base, sub_base + n_sub, out_len))
+        sub_base += n_sub
+    lit_end = (lit_base + LITROWS * ROWB + ROWB - 1) // ROWB * ROWB
+    return DensePack(
+        tbl=tbl[:sub_base], scal=scal[:sub_base], bmap=bmap[:sub_base],
+        lit=lit[:lit_end], n_sub=sub_base, out_spans=out_spans,
+        has_self=has_self,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Device side
 # ---------------------------------------------------------------------------
@@ -280,8 +347,8 @@ def dense_prelude(tbl, lit_u8, *, n_sub: int, lit_rows: int):
     import jax.numpy as jnp
 
     ll = (tbl & 0xFF).astype(jnp.float32)
-    ml = ((tbl >> 8) & 0xFF).astype(jnp.float32)
-    off = ((tbl >> 16) & 0xFFFF).astype(jnp.int32)
+    ml = ((tbl >> 8) & 0x7F).astype(jnp.float32)
+    off = ((tbl >> 15) & 0x1FFFF).astype(jnp.int32)
     t = _tri(SLOTS)
     ds = jnp.dot(ll + ml, t, preferred_element_type=jnp.float32)
     lloc = jnp.dot(ll, t, preferred_element_type=jnp.float32)
@@ -296,7 +363,7 @@ def dense_prelude(tbl, lit_u8, *, n_sub: int, lit_rows: int):
             off & 255,
             (lloci >> 8) & 255,
             lloci & 255,
-            jnp.zeros_like(dsi),
+            (off >> 16) & 1,
         ],
         axis=-1,
     ).astype(jnp.int8).reshape(n_sub * SLOTS, 8)
@@ -354,7 +421,7 @@ def _make_kernel(with_fix: bool):
             )                                           # (8, SUB)
             ds_b = F[0:1, :] * 256.0 + F[1:2, :]
             ll_b = F[2:3, :]
-            off_b = F[3:4, :] * 256.0 + F[4:5, :]
+            off_b = F[3:4, :] * 256.0 + F[4:5, :] + F[7:8, :] * 65536.0
             lit_b = F[5:6, :] * 256.0 + F[6:7, :]
 
             jf = lanes.astype(jnp.float32)   # Mosaic rejects f32 iota
@@ -406,38 +473,47 @@ def _make_kernel(with_fix: bool):
             )                                           # (1, SUB)
 
             if with_fix:
-                val = jnp.where(is_self, -1.0, val)
-                msrc_loc = msrc.astype(jnp.int32)
-                ohs = (
-                    jax.lax.broadcasted_iota(
-                        jnp.int32, (SUB // ROWB, SUB), 0
-                    ) == jnp.where(is_self, msrc_loc >> 8, -1)
-                ).astype(jnp.bfloat16)
-                ohq2 = (
-                    jax.lax.broadcasted_iota(jnp.int32, (ROWB, SUB), 0)
-                    == jnp.where(is_self, msrc_loc & 255, -1)
-                ).astype(jnp.bfloat16)
-
-                def fix_pass(v):
-                    sp = _rows(v, SUB // ROWB).astype(jnp.bfloat16)
-                    ysT = jax.lax.dot_general(
-                        sp, ohs, (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
+                # Fix-point resolution, gated per substep: the packer
+                # marks substeps with unresolved self references in
+                # scal[:, 2]; everything else skips this entirely.
+                def do_fix(val):
+                    v0 = jnp.where(is_self, -1.0, val)
+                    msrc_loc = msrc.astype(jnp.int32)
+                    ohs = (
+                        jax.lax.broadcasted_iota(
+                            jnp.int32, (SUB // ROWB, SUB), 0
+                        ) == jnp.where(is_self, msrc_loc >> 8, -1)
                     ).astype(jnp.bfloat16)
-                    nv = jnp.sum(
-                        (ysT * ohq2).astype(jnp.float32), axis=0,
-                        keepdims=True,
-                    )
-                    take = jnp.logical_and(v < 0, nv >= 0)
-                    return jnp.where(take, nv, v)
+                    ohq2 = (
+                        jax.lax.broadcasted_iota(jnp.int32, (ROWB, SUB), 0)
+                        == jnp.where(is_self, msrc_loc & 255, -1)
+                    ).astype(jnp.bfloat16)
 
-                val = fix_pass(fix_pass(val))
-                val, _ = jax.lax.while_loop(
-                    lambda st: jnp.logical_and(
-                        jnp.min(st[0]) < 0, st[1] < SUB
-                    ),
-                    lambda st: (fix_pass(st[0]), st[1] + 1),
-                    (val, jnp.int32(0)),
+                    def fix_pass(v):
+                        sp = _rows(v, SUB // ROWB).astype(jnp.bfloat16)
+                        ysT = jax.lax.dot_general(
+                            sp, ohs, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ).astype(jnp.bfloat16)
+                        nv = jnp.sum(
+                            (ysT * ohq2).astype(jnp.float32), axis=0,
+                            keepdims=True,
+                        )
+                        take = jnp.logical_and(v < 0, nv >= 0)
+                        return jnp.where(take, nv, v)
+
+                    v1 = fix_pass(fix_pass(v0))
+                    v2, _ = jax.lax.while_loop(
+                        lambda st: jnp.logical_and(
+                            jnp.min(st[0]) < 0, st[1] < SUB
+                        ),
+                        lambda st: (fix_pass(st[0]), st[1] + 1),
+                        (v1, jnp.int32(0)),
+                    )
+                    return v2
+
+                val = jax.lax.cond(
+                    scal_ref[i, 2] != 0, do_fix, lambda v: v, val
                 )
             else:
                 # correctness net: packer promised no self references

@@ -1,0 +1,184 @@
+"""Sparse-chain decoder: few big segments as pure XLA data movement.
+
+Zeros-like vectors (z9m: 6 sequences for 9.4 MB) and incompressible
+data (b3444k: literal-dominated, uncompressed blocks) spend all their
+bytes in a handful of giant segments.  The reference handles these in
+the same byte loop as everything else (lib/lz4ada.adb:780-817); on TPU
+the right shape is a tiny host-built *program* of vector operations:
+
+  copy  dst <- comp[src : src+n]     literal runs / uncompressed blocks
+  fill  dst <- tile(pattern)[:n]     matches with small offsets (RLE);
+                                     the pattern bytes are resolved on
+                                     the host by chasing segment
+                                     metadata (cheap: sparse chains
+                                     have few segments)
+  self  dst <- out[src : src+n]      large-offset matches; split into
+                                     offset-sized chunks when the match
+                                     self-overlaps
+
+The program executes as a chain of dynamic_update_slice ops inside one
+XLA computation — HBM-bandwidth fills, no Pallas needed.  Chains whose
+matches cannot be expressed this way (deep patterns, too many chunks)
+are rejected at build time; the pipeline falls back to the segment
+kernel (pallas_decode.py) or the dense MXU kernel (mxu_decode.py).
+
+Program shapes are static per input; jit caching is keyed on the op
+list, which the pipeline buckets by vector identity (a decode service
+reuses the compiled program across repeated inputs of the same frame
+layout).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+
+MAX_PATTERN = 64        # resolve fill patterns up to this offset
+MAX_SELF_CHUNKS = 32    # split budget for self-overlapping big matches
+MAX_OPS = 512           # program-size cap: beyond this, not "sparse"
+
+
+@dataclasses.dataclass(frozen=True)
+class SparseOp:
+    kind: str            # 'copy' | 'fill' | 'self'
+    dst: int
+    n: int
+    src: int = 0         # comp offset ('copy') / out offset ('self')
+    pattern: bytes = b""  # 'fill' only
+
+
+@dataclasses.dataclass
+class SparseProgram:
+    ops: tuple           # tuple[SparseOp, ...] (hashable for jit cache)
+    n_out: int
+
+
+class _Unsupported(Exception):
+    pass
+
+
+class _Builder:
+    def __init__(self, buf: np.ndarray):
+        self.buf = buf
+        self.ops: list = []
+        self.pos = 0
+
+    def _byte_at(self, p: int, depth: int = 0) -> int:
+        """Resolve the decoded byte at output position p from segment
+        metadata (host side, no decoding)."""
+        if depth > 16:
+            raise _Unsupported("pattern chain too deep")
+        for op in reversed(self.ops):
+            if op.dst <= p < op.dst + op.n:
+                rel = p - op.dst
+                if op.kind == "copy":
+                    return int(self.buf[op.src + rel])
+                if op.kind == "fill":
+                    return op.pattern[rel % len(op.pattern)]
+                return self._byte_at(op.src + rel, depth + 1)
+        raise _Unsupported("byte before chain start")
+
+    def _push(self, op: SparseOp):
+        if len(self.ops) >= MAX_OPS:
+            raise _Unsupported("too many segments for the sparse path")
+        self.ops.append(op)
+        self.pos += op.n
+
+    def literal(self, comp_off: int, n: int):
+        if n:
+            self._push(SparseOp("copy", self.pos, n, src=int(comp_off)))
+
+    def match(self, off: int, n: int):
+        if n == 0:
+            return
+        if off <= MAX_PATTERN:
+            pattern = bytes(
+                self._byte_at(self.pos - off + k) for k in range(off)
+            )
+            self._push(SparseOp("fill", self.pos, n, pattern=pattern))
+            return
+        if n <= off:
+            self._push(SparseOp("self", self.pos, n, src=self.pos - off))
+            return
+        # self-overlapping large-offset match: offset-sized chunks
+        if (n + off - 1) // off > MAX_SELF_CHUNKS:
+            raise _Unsupported("overlapping match needs too many chunks")
+        rem = n
+        while rem > 0:
+            take = min(rem, off)
+            self._push(SparseOp("self", self.pos, take, src=self.pos - off))
+            rem -= take
+
+
+def build_sparse_program(
+    lit_len: np.ndarray,
+    match_len: np.ndarray,
+    match_off: np.ndarray,
+    lit_src: np.ndarray,
+    buf: np.ndarray,
+) -> SparseProgram | None:
+    """Try to express one chain as a sparse program; None if it isn't
+    sparse-shaped (the caller falls back to another engine)."""
+    b = _Builder(buf)
+    try:
+        for i in range(lit_len.size):
+            b.literal(lit_src[i], int(lit_len[i]))
+            b.match(max(int(match_off[i]), 1), int(match_len[i]))
+    except _Unsupported:
+        return None
+    return SparseProgram(ops=tuple(b.ops), n_out=b.pos)
+
+
+@functools.lru_cache(maxsize=256)
+def _compile_program(ops: tuple, n_out: int):
+    import jax
+    import jax.numpy as jnp
+
+    def _fill_seg(op):
+        if len(set(op.pattern)) == 1:      # uniform byte -> pure memset
+            return jnp.full((op.n,), op.pattern[0], jnp.uint8)
+        pat = jnp.asarray(np.frombuffer(op.pattern, np.uint8))
+        reps = (op.n + len(op.pattern) - 1) // len(op.pattern)
+        return jnp.tile(pat, reps)[: op.n]
+
+    if all(op.kind != "self" for op in ops):
+        # Segments are emitted in output order with no holes: build the
+        # result as one concatenation — no zero-init, no update copies.
+        def run(comp):
+            segs = [
+                jax.lax.dynamic_slice(comp, (op.src,), (op.n,))
+                if op.kind == "copy" else _fill_seg(op)
+                for op in ops
+            ]
+            return segs[0] if len(segs) == 1 else jnp.concatenate(segs)
+
+        return jax.jit(run)
+
+    def run(comp):
+        out = jnp.zeros((max(n_out, 1),), jnp.uint8)
+        for op in ops:
+            if op.kind == "copy":
+                seg = jax.lax.dynamic_slice(comp, (op.src,), (op.n,))
+            elif op.kind == "fill":
+                seg = _fill_seg(op)
+            else:
+                seg = jax.lax.dynamic_slice(out, (op.src,), (op.n,))
+            out = jax.lax.dynamic_update_slice(out, seg, (op.dst,))
+        return out
+
+    return jax.jit(run)
+
+
+def decode_sparse_device(program: SparseProgram, comp_dev):
+    """Run the program on device; returns the uint8 output array."""
+    return _compile_program(program.ops, program.n_out)(comp_dev)
+
+
+def decode_sparse(program: SparseProgram, buf: np.ndarray) -> bytes:
+    import jax
+    import jax.numpy as jnp
+
+    out = decode_sparse_device(program, jnp.asarray(buf))
+    return np.asarray(jax.device_get(out)).tobytes()

@@ -260,6 +260,178 @@ def _pallas_fits(table: SeqTable, parsed: ParseResult) -> bool:
     return True
 
 
+@dataclasses.dataclass
+class DecodePlan:
+    """Per-input decode plan: which engine handles which chain.
+
+    The classifier is the TPU replacement for the reference's single
+    byte loop: the format's own structure decides the engine —
+    * ``sparse``: few giant segments (zeros/RLE, incompressible,
+      uncompressed blocks) -> XLA segment program at HBM speed
+      (device/sparse_decode.py)
+    * ``dense``: many small sequences (text) -> MXU one-hot routing
+      kernel (device/mxu_decode.py)
+    * ``pallas``/``resolve``: anything the two fast paths decline
+      (oversized chains, pathological shapes)
+    """
+
+    sparse: list         # [(chain, SparseProgram)]
+    dense_chains: list   # [chain]
+    dense_pack: object   # DensePack | None
+    other: list          # [chain] -> segment kernel / resolver
+
+
+_SPARSE_MAX_SEQS = 512
+
+
+def plan_decode(buf: np.ndarray, parsed: ParseResult, table: SeqTable):
+    """Classify every chain and pre-pack the dense batch."""
+    from .device import mxu_decode as mx
+    from .device import sparse_decode as sp
+
+    plan = DecodePlan(sparse=[], dense_chains=[], dense_pack=None, other=[])
+    dense_ranges = []
+    for chain in _chains_of(table):
+        if chain.out_hi == chain.out_lo:
+            continue
+        sl = slice(chain.seq_lo, chain.seq_hi)
+        n_seqs = chain.seq_hi - chain.seq_lo
+        n_out_c = chain.out_hi - chain.out_lo
+        if n_seqs <= _SPARSE_MAX_SEQS:
+            prog = sp.build_sparse_program(
+                table.lit_len[sl], table.match_len[sl],
+                table.match_off[sl], table.lit_src[sl], buf,
+            )
+            if prog is not None:
+                plan.sparse.append((chain, prog))
+                continue
+        lit_vol = int(table.lit_len[sl].sum())
+        if n_out_c <= mx.MAX_PART_OUT and lit_vol <= (2 << 20):
+            plan.dense_chains.append(chain)
+            dense_ranges.append((chain.seq_lo, chain.seq_hi))
+            continue
+        plan.other.append(chain)
+    if dense_ranges:
+        try:
+            plan.dense_pack = mx.pack_dense_native(
+                table.lit_len, table.match_len, table.match_off,
+                table.lit_src, buf, chain_ranges=dense_ranges,
+            )
+        except OverflowError:
+            plan.other.extend(plan.dense_chains)
+            plan.dense_chains = []
+            plan.dense_pack = None
+    return plan
+
+
+def _decode_via_plan(
+    buf: np.ndarray, parsed: ParseResult, table: SeqTable, plan: DecodePlan,
+    interpret: bool = False,
+) -> np.ndarray:
+    import jax
+    import jax.numpy as jnp
+
+    from .device import mxu_decode as mx
+    from .device import sparse_decode as sp
+
+    out = np.empty(table.n_out, np.uint8)
+    handles = []
+    if (plan.dense_pack is not None and not interpret
+            and jax.devices()[0].platform == "cpu"):
+        # compiled Pallas needs a TPU; on CPU CI the resolver covers
+        # these chains (interpret-mode kernel coverage lives in
+        # tests/test_mxu_decode.py)
+        plan = dataclasses.replace(
+            plan, other=plan.other + plan.dense_chains,
+            dense_chains=[], dense_pack=None,
+        )
+    if plan.sparse:
+        comp_dev = jnp.asarray(buf)
+        for chain, prog in plan.sparse:
+            handles.append(
+                ("sparse", chain, sp.decode_sparse_device(prog, comp_dev))
+            )
+    if plan.dense_pack is not None:
+        pk = plan.dense_pack
+        rows, flag = mx._decode_dense_device(
+            jnp.asarray(pk.tbl), jnp.asarray(pk.scal),
+            jnp.asarray(pk.bmap), jnp.asarray(pk.lit),
+            n_sub=pk.n_sub, lit_rows=pk.lit.size // mx.ROWB,
+            with_fix=pk.has_self, interpret=interpret,
+        )
+        handles.append(("dense", flag, rows))
+    # fetch + assemble
+    for kind, meta, h in handles:
+        if kind == "sparse":
+            chain = meta
+            out[chain.out_lo:chain.out_hi] = np.asarray(jax.device_get(h))
+        else:
+            flat = np.asarray(jax.device_get(h)).reshape(-1)
+            pk = plan.dense_pack
+            if not pk.has_self:
+                assert int(jax.device_get(meta)[0, 0]) == 0
+            for chain, (c, slo, shi, out_len) in zip(
+                plan.dense_chains, pk.out_spans
+            ):
+                out[chain.out_lo:chain.out_hi] = flat[
+                    slo * mx.SUB: slo * mx.SUB + out_len
+                ]
+    # stragglers through the segment kernel / resolver
+    if plan.other:
+        from .device import pallas_decode as pk_seg
+
+        on_tpu = jax.devices()[0].platform != "cpu"
+        for chain in plan.other:
+            fr = parsed.frames[chain.frame_id]
+            sl = slice(chain.seq_lo, chain.seq_hi)
+            n_loc = chain.out_hi - chain.out_lo
+            fits = (
+                on_tpu
+                and n_loc <= pk_seg.MAX_CHAIN_OUT
+                and fr.end - fr.start <= pk_seg.MAX_CHAIN_COMP
+            )
+            if fits:
+                out[chain.out_lo:chain.out_hi] = pk_seg.decode_chain(
+                    buf[fr.start:fr.end],
+                    (table.out_start[sl] - chain.out_lo).astype(np.int32),
+                    (table.lit_src[sl] - fr.start).astype(np.int32),
+                    table.lit_len[sl], table.match_off[sl],
+                    table.match_len[sl], n_loc, interpret=interpret,
+                )
+            else:
+                out[chain.out_lo:chain.out_hi] = _resolve_chain(
+                    buf, table, chain
+                )
+    return out
+
+
+def _resolve_chain(buf: np.ndarray, table: SeqTable, chain) -> np.ndarray:
+    """XLA byte-parallel resolver fallback for one chain."""
+    import jax.numpy as jnp
+
+    from .device import decode as dev
+
+    sl = slice(chain.seq_lo, chain.seq_hi)
+    n_loc = chain.out_hi - chain.out_lo
+    n_out_pad = dev.bucket(n_loc)
+    s_pad = dev.bucket(chain.seq_hi - chain.seq_lo, minimum=128)
+    comp_pad = dev.bucket(buf.size)
+    produces = (table.lit_len[sl] + table.match_len[sl]) > 0
+    out = dev.resolve_sources(
+        jnp.asarray(dev.pad_to(buf, comp_pad, 0)),
+        jnp.asarray(dev.pad_to(
+            (table.out_start[sl] - chain.out_lo).astype(np.int32),
+            s_pad, n_out_pad)),
+        jnp.asarray(dev.pad_to(table.lit_len[sl], s_pad, 0)),
+        jnp.asarray(dev.pad_to(table.lit_src[sl], s_pad, 0)),
+        jnp.asarray(dev.pad_to(table.match_off[sl], s_pad, 1)),
+        jnp.asarray(dev.pad_to(produces, s_pad, False)),
+        n_real=n_loc, n_out=n_out_pad,
+        n_seqs=chain.seq_hi - chain.seq_lo,
+    )
+    return out[:n_loc]
+
+
 def decompress_device(
     data,
     reservation: Reservation = FOR_ALL,
@@ -268,9 +440,10 @@ def decompress_device(
 ) -> bytes:
     """Decode a whole buffer via the device pipeline.
 
-    engine: "pallas" (segment-copy kernel, chain-wise), "resolve"
-    (byte-parallel XLA resolver), or "auto" (pallas on TPU when every
-    chain fits VMEM, resolve otherwise).
+    engine: "auto" (classifier mix: sparse XLA program / dense MXU
+    routing kernel / segment kernel / resolver — see DecodePlan),
+    "pallas" (segment-copy kernel, chain-wise), or "resolve"
+    (byte-parallel XLA resolver).
     """
     import jax
     import jax.numpy as jnp
@@ -286,10 +459,10 @@ def decompress_device(
         return b""
 
     if engine == "auto":
-        on_tpu = jax.devices()[0].platform != "cpu"
-        engine = (
-            "pallas" if on_tpu and _pallas_fits(table, parsed) else "resolve"
-        )
+        plan = plan_decode(buf, parsed, table)
+        out_np = _decode_via_plan(buf, parsed, table, plan, interpret)
+        _verify_checksums(buf, parsed, out_np, table)
+        return out_np.tobytes()
     if engine == "pallas":
         out_np = _decode_pallas(buf, parsed, table, interpret)
         _verify_checksums(buf, parsed, out_np, table)

@@ -59,15 +59,15 @@ class TestPacker:
         assert pack.tbl.shape[1] == mx.SLOTS
         # every substep sums to SUB bytes
         ll = pack.tbl & 0xFF
-        ml = (pack.tbl >> 8) & 0xFF
+        ml = (pack.tbl >> 8) & 0x7F
         assert ((ll + ml).sum(axis=1) == mx.SUB).all()
 
     def test_long_runs_split(self):
         seqs = [(b"x" * 1000, 0, 1), (b"", 5000, 3)]
         pack = pack_from_seqs(seqs)
         ll = pack.tbl & 0xFF
-        ml = (pack.tbl >> 8) & 0xFF
-        assert ll.max() <= 255 and ml.max() <= 255
+        ml = (pack.tbl >> 8) & 0x7F
+        assert ll.max() <= 255 and ml.max() <= 127
 
     def test_out_spans(self):
         seqs = [(b"ab", 10, 2), (b"c", 0, 1)]
