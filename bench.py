@@ -135,13 +135,22 @@ def main() -> int:
         assert bytes(res) == decompress_host(data), f"{name}: mismatch"
 
     # ---- timed steady state -----------------------------------------------
-    last = decode_corpus(comp_dev, tbl_d, scal_d, bm_d, lit_d)
-    sync(last)
-    t0 = time.time()
-    for _ in range(REPS):
-        last = decode_corpus(comp_dev, tbl_d, scal_d, bm_d, lit_d)
-    sync(last)
-    elapsed = (time.time() - t0) / REPS
+    # Two-point slope: the final sync costs a fixed ~30 ms (scalar d2h
+    # round trip through the dev tunnel); timing N and 4N iterations and
+    # taking the slope measures the true marginal cost per decode.
+    def run(reps):
+        t0 = time.time()
+        last = None
+        for _ in range(reps):
+            last = decode_corpus(comp_dev, tbl_d, scal_d, bm_d, lit_d)
+        sync(last)
+        return time.time() - t0
+
+    sync(decode_corpus(comp_dev, tbl_d, scal_d, bm_d, lit_d))
+    run(2)
+    t_small = run(REPS)
+    t_big = run(4 * REPS)
+    elapsed = (t_big - t_small) / (3 * REPS)
 
     gbps = total_bytes / elapsed / 1e9
     print(
