@@ -276,5 +276,23 @@ def main(argv=None) -> int:
         return 1
 
 
+def _tool_main(tool: str):
+    def run(argv=None) -> int:
+        args = [tool] + list(sys.argv[1:] if argv is None else argv)
+        return main(args)
+
+    return run
+
+
+# Console-script entry points (see pyproject.toml); each mirrors one of
+# the reference's standalone binaries.
+main_unlz4 = _tool_main("unlz4")
+main_unlz4_simple = _tool_main("unlz4-simple")
+main_lz4hdrinfo = _tool_main("lz4hdrinfo")
+main_xxhash32 = _tool_main("xxhash32")
+main_compress = _tool_main("lz4-compress")
+main_bench = _tool_main("lz4-bench")
+
+
 if __name__ == "__main__":
     sys.exit(main())
