@@ -234,6 +234,20 @@ def cmd_bench(args) -> int:
             f"{len(out) / dt / 1e6:.1f} MB/s",
             file=sys.stderr,
         )
+        if getattr(args, "stats", False) and args.backend in ("device", "auto"):
+            from .pipeline import DecodeStats, decompress_device
+
+            st = DecodeStats()
+            decompress_device(data, stats=st)
+            print(
+                f"  frames={st.n_frames} blocks={st.n_blocks} "
+                f"chains={st.n_chains} seqs={st.n_seqs} "
+                f"engines={st.engine_chains} bytes={st.engine_bytes}\n"
+                f"  parse={st.parse_s * 1e3:.2f}ms scan={st.scan_s * 1e3:.2f}ms "
+                f"plan={st.plan_s * 1e3:.2f}ms device={st.device_s * 1e3:.2f}ms "
+                f"verify={st.verify_s * 1e3:.2f}ms",
+                file=sys.stderr,
+            )
     if t_total:
         print(
             f"TOTAL: {total_out / t_total / 1e6:.1f} MB/s decompressed",
@@ -266,6 +280,8 @@ def main(argv=None) -> int:
     pb.add_argument("--backend", default="host",
                     choices=["host", "device", "auto", "sharded"])
     pb.add_argument("--reps", type=int, default=3)
+    pb.add_argument("--stats", action="store_true",
+                    help="print DecodeStats counters (device/auto backends)")
     pb.set_defaults(fn=cmd_bench)
 
     args = parser.parse_args(argv)

@@ -34,6 +34,33 @@ from .constants import HISTORY_SIZE
 AXIS = "dp"
 
 
+def initialize_multihost(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Join a multi-host TPU pod slice (DP across hosts over ICI within
+    a slice, DCN across slices — SURVEY.md section 2).
+
+    Thin wrapper over ``jax.distributed.initialize``: on Cloud TPU the
+    arguments are discovered from the environment, elsewhere pass them
+    explicitly.  After this, ``jax.devices()`` spans the whole slice and
+    ``make_mesh()`` builds a global mesh; ``decompress_sharded`` then
+    shards output spans across every chip in the pod, with the tail
+    exchange riding ICI (XLA lowers the all_gather; there is no NCCL
+    analog to manage — this *is* the TPU-native communication backend).
+
+    Per-host input staging: each host feeds its local shard of the
+    replicated inputs via ``jax.make_array_from_process_local_data``;
+    ``decompress_sharded`` handles single-host meshes transparently.
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 def _ceil_log2(n: int) -> int:
     k = 0
     while (1 << k) < n:

@@ -35,6 +35,39 @@ from .xxh32 import xxh32
 
 
 @dataclasses.dataclass
+class DecodeStats:
+    """Observability counters for one device-pipeline decode.
+
+    The reference's only diagnostics are exception messages and the
+    lz4hdrinfo tool (SURVEY.md section 5); the rebuild adds counters and
+    per-stage wall times, exposed via ``decompress_device(...,
+    stats=...)`` and printed by ``lz4tpu.cli lz4-bench --stats``.
+    Times are seconds; ``device_s`` includes transfers and the host
+    fetch of device-resident output.
+    """
+
+    comp_bytes: int = 0
+    out_bytes: int = 0
+    n_frames: int = 0
+    n_blocks: int = 0
+    n_chains: int = 0
+    n_seqs: int = 0
+    engine_chains: dict = dataclasses.field(default_factory=dict)
+    engine_bytes: dict = dataclasses.field(default_factory=dict)
+    parse_s: float = 0.0
+    scan_s: float = 0.0
+    plan_s: float = 0.0
+    device_s: float = 0.0
+    verify_s: float = 0.0
+
+    def note_engine(self, name: str, chain) -> None:
+        self.engine_chains[name] = self.engine_chains.get(name, 0) + 1
+        self.engine_bytes[name] = (
+            self.engine_bytes.get(name, 0) + chain.out_hi - chain.out_lo
+        )
+
+
+@dataclasses.dataclass
 class BlockSpan:
     """Seq-table/output span of one block (for chain dispatch)."""
 
@@ -284,7 +317,8 @@ class DecodePlan:
 _SPARSE_MAX_SEQS = 512
 
 
-def plan_decode(buf: np.ndarray, parsed: ParseResult, table: SeqTable):
+def plan_decode(buf: np.ndarray, parsed: ParseResult, table: SeqTable,
+                stats: DecodeStats | None = None):
     """Classify every chain and pre-pack the dense batch."""
     from .device import mxu_decode as mx
     from .device import sparse_decode as sp
@@ -297,6 +331,8 @@ def plan_decode(buf: np.ndarray, parsed: ParseResult, table: SeqTable):
         sl = slice(chain.seq_lo, chain.seq_hi)
         n_seqs = chain.seq_hi - chain.seq_lo
         n_out_c = chain.out_hi - chain.out_lo
+        if stats is not None:
+            stats.n_chains += 1
         if n_seqs <= _SPARSE_MAX_SEQS:
             prog = sp.build_sparse_program(
                 table.lit_len[sl], table.match_len[sl],
@@ -304,13 +340,19 @@ def plan_decode(buf: np.ndarray, parsed: ParseResult, table: SeqTable):
             )
             if prog is not None:
                 plan.sparse.append((chain, prog))
+                if stats is not None:
+                    stats.note_engine("sparse", chain)
                 continue
         lit_vol = int(table.lit_len[sl].sum())
         if n_out_c <= mx.MAX_PART_OUT and lit_vol <= (2 << 20):
             plan.dense_chains.append(chain)
             dense_ranges.append((chain.seq_lo, chain.seq_hi))
+            if stats is not None:
+                stats.note_engine("dense", chain)
             continue
         plan.other.append(chain)
+        if stats is not None:
+            stats.note_engine("fallback", chain)
     if dense_ranges:
         try:
             plan.dense_pack = mx.pack_dense_native(
@@ -437,6 +479,7 @@ def decompress_device(
     reservation: Reservation = FOR_ALL,
     engine: str = "auto",
     interpret: bool = False,
+    stats: DecodeStats | None = None,
 ) -> bytes:
     """Decode a whole buffer via the device pipeline.
 
@@ -445,6 +488,8 @@ def decompress_device(
     "pallas" (segment-copy kernel, chain-wise), or "resolve"
     (byte-parallel XLA resolver).
     """
+    import time as _time
+
     import jax
     import jax.numpy as jnp
 
@@ -453,15 +498,32 @@ def decompress_device(
     buf = np.frombuffer(bytes(data), dtype=np.uint8)
     if buf.size == 0:
         return b""
+    t0 = _time.perf_counter()
     parsed = parse_frames(buf, reservation)
+    t1 = _time.perf_counter()
     table = build_seq_table(buf, parsed, reservation, data)
+    t2 = _time.perf_counter()
+    if stats is not None:
+        stats.comp_bytes = buf.size
+        stats.out_bytes = table.n_out
+        stats.n_frames = len(parsed.frames)
+        stats.n_blocks = sum(len(f.blocks) for f in parsed.frames)
+        stats.n_seqs = int(table.out_start.size)
+        stats.parse_s = t1 - t0
+        stats.scan_s = t2 - t1
     if table.n_out == 0:
         return b""
 
     if engine == "auto":
-        plan = plan_decode(buf, parsed, table)
+        plan = plan_decode(buf, parsed, table, stats)
+        t3 = _time.perf_counter()
         out_np = _decode_via_plan(buf, parsed, table, plan, interpret)
+        t4 = _time.perf_counter()
         _verify_checksums(buf, parsed, out_np, table)
+        if stats is not None:
+            stats.plan_s = t3 - t2
+            stats.device_s = t4 - t3
+            stats.verify_s = _time.perf_counter() - t4
         return out_np.tobytes()
     if engine == "pallas":
         out_np = _decode_pallas(buf, parsed, table, interpret)
