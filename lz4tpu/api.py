@@ -128,6 +128,9 @@ def compress(
     data = bytes(data)
     from .native import compress_block
 
+    if backend == "device":
+        from .device.encode import compress_block_device
+
     block_max = _BLOCK_CODE_SIZE[block_max_code]
     out = bytearray(struct.pack("<I", MAGIC_MODERN))
     out += _frame_descriptor(
@@ -141,9 +144,14 @@ def compress(
     while pos < len(data):
         chunk = data[pos:pos + block_max]
         hist = b"" if block_independence else data[max(0, pos - 65536):pos]
-        comp = compress_block(
-            chunk, hist=hist, max_chain=max_chain, optimal=level >= 10
-        )
+        if backend == "device":
+            # TPU match finding (sorted grams), host emission — see
+            # lz4tpu/device/encode.py
+            comp = compress_block_device(chunk, hist=hist)
+        else:
+            comp = compress_block(
+                chunk, hist=hist, max_chain=max_chain, optimal=level >= 10
+            )
         if comp and len(comp) < len(chunk):
             out += struct.pack("<I", len(comp))
             out += comp

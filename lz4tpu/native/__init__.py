@@ -76,6 +76,10 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.lz4tpu_compress_block_opt.argtypes = [
         u8p, c.c_int64, u8p, c.c_int64, u8p, c.c_int64, c.c_int32,
     ]
+    lib.lz4tpu_compress_block_cands.restype = c.c_int64
+    lib.lz4tpu_compress_block_cands.argtypes = [
+        u8p, c.c_int64, c.c_int64, i32p, u8p, c.c_int64, c.c_int32,
+    ]
     lib.lz4tpu_pack_dense.restype = c.c_int64
     lib.lz4tpu_pack_dense.argtypes = [
         u8p, i32p, i32p, i32p, i32p, c.c_int64,
@@ -238,6 +242,25 @@ def pack_dense_chain(
         raise OverflowError(f"pack_dense failed with status {-n}")
     del slots
     return int(n), int(lit_out.value), bool(has_self.value)
+
+
+def compress_block_cands(
+    joined: np.ndarray, hist_len: int, src_len: int,
+    cand: np.ndarray, lazy: bool = True,
+) -> bytes:
+    """Emit an LZ4 block from device-generated match candidates."""
+    c = ctypes
+    cap = src_len + src_len // 128 + 64
+    dst = np.empty(cap, np.uint8)
+    cand = np.ascontiguousarray(cand, np.int32)
+    n = _get().lz4tpu_compress_block_cands(
+        _u8ptr(joined), hist_len, src_len,
+        cand.ctypes.data_as(c.POINTER(c.c_int32)),
+        _u8ptr(dst), cap, int(lazy),
+    )
+    if n < 0:
+        raise RuntimeError("compress_block_cands: destination overflow")
+    return dst[:n].tobytes()
 
 
 def compress_block(

@@ -493,6 +493,107 @@ int64_t lz4tpu_compress_block(
     return op;
 }
 
+// Emitter for device-generated match candidates (lz4tpu/device/encode.py):
+// cand[p] is the nearest previous position with the same 4 bytes (-1 =
+// none within 64 KiB), computed on the TPU by gram sorting. This walk
+// only verifies/extends/emits — no searching. One-step lazy deferral
+// like lz4tpu_compress_block.
+int64_t lz4tpu_compress_block_cands(
+    const uint8_t* base, int64_t hist_len, int64_t src_len,
+    const int32_t* cand,
+    uint8_t* dst, int64_t dst_cap, int32_t lazy) {
+    if (src_len <= 0) return 0;
+    const int64_t start = hist_len;
+    const int64_t end = hist_len + src_len;
+    const int64_t MFLIMIT = 12;
+    const int64_t MINMATCH = 4;
+    const int64_t match_limit = end - 5;
+    int64_t ip = start;
+    int64_t anchor = start;
+    int64_t op = 0;
+
+    auto match_at = [&](int64_t p, int64_t* pos_out) -> int64_t {
+        int64_t c = cand[p];
+        if (c < 0 || c + 0xFFFF < p) return 0;
+        if (read32(base + c) != read32(base + p)) return 0;  // safety
+        int64_t l = extend_match(base, c, p, MINMATCH, match_limit - p);
+        *pos_out = c;
+        return l;
+    };
+
+    #define CEMIT_FAIL return -1
+    while (ip + MFLIMIT <= end) {
+        int64_t best_pos = -1;
+        int64_t best_len = match_at(ip, &best_pos);
+        if (best_len < MINMATCH) {
+            ++ip;
+            continue;
+        }
+        if (lazy) {
+            while (ip + 1 + MFLIMIT <= end) {
+                int64_t pos1 = -1;
+                int64_t len1 = match_at(ip + 1, &pos1);
+                if (len1 > best_len + 1) {
+                    best_len = len1;
+                    best_pos = pos1;
+                    ++ip;
+                } else {
+                    break;
+                }
+            }
+        }
+        while (ip > anchor && best_pos > 0 &&
+               base[best_pos - 1] == base[ip - 1]) {
+            --ip; --best_pos; ++best_len;
+        }
+        const int64_t lit = ip - anchor;
+        const int64_t offset = ip - best_pos;
+        int64_t mtoken = best_len - MINMATCH;
+        if (op + 1 + lit / 255 + 1 + lit + 2 + mtoken / 255 + 1 > dst_cap)
+            CEMIT_FAIL;
+        uint8_t* tok = dst + op++;
+        *tok = 0;
+        if (lit >= 15) {
+            *tok = 15 << 4;
+            int64_t rest = lit - 15;
+            while (rest >= 255) { dst[op++] = 255; rest -= 255; }
+            dst[op++] = (uint8_t)rest;
+        } else {
+            *tok = (uint8_t)(lit << 4);
+        }
+        std::memcpy(dst + op, base + anchor, (size_t)lit);
+        op += lit;
+        dst[op++] = (uint8_t)(offset & 0xFF);
+        dst[op++] = (uint8_t)(offset >> 8);
+        if (mtoken >= 15) {
+            *tok |= 15;
+            int64_t rest = mtoken - 15;
+            while (rest >= 255) { dst[op++] = 255; rest -= 255; }
+            dst[op++] = (uint8_t)rest;
+        } else {
+            *tok |= (uint8_t)mtoken;
+        }
+        ip += best_len;
+        anchor = ip;
+    }
+    {
+        const int64_t lit = end - anchor;
+        if (op + 1 + lit / 255 + 1 + lit > dst_cap) CEMIT_FAIL;
+        if (lit >= 15) {
+            dst[op++] = 15 << 4;
+            int64_t rest = lit - 15;
+            while (rest >= 255) { dst[op++] = 255; rest -= 255; }
+            dst[op++] = (uint8_t)rest;
+        } else {
+            dst[op++] = (uint8_t)(lit << 4);
+        }
+        std::memcpy(dst + op, base + anchor, (size_t)lit);
+        op += lit;
+    }
+    #undef CEMIT_FAIL
+    return op;
+}
+
 // ---------------------------------------------------------------------------
 // Optimal-parse encoder (exact LZ4 pricing via backward DP)
 // ---------------------------------------------------------------------------

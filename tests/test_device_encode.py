@@ -1,0 +1,91 @@
+"""Device-side match finding (device/encode.py): candidates via gram
+sorting + native emission.  Pure-XLA, so these run on CPU CI too."""
+
+import numpy as np
+import pytest
+
+import lz4tpu
+from lz4tpu.device import encode as de
+
+
+def ref_candidates(data: np.ndarray) -> np.ndarray:
+    """O(n) reference: nearest previous identical 4-gram via dict."""
+    n = data.size
+    out = np.full(n, -1, np.int64)
+    last: dict = {}
+    d = data
+    for p in range(n - 3):
+        g = int(d[p]) | int(d[p + 1]) << 8 | int(d[p + 2]) << 16 \
+            | int(d[p + 3]) << 24
+        if g in last and p - last[g] <= 65535:
+            out[p] = last[g]
+        last[g] = p
+    return out
+
+
+class TestCandidates:
+    def test_matches_reference_small(self):
+        rng = np.random.default_rng(7)
+        # low-entropy bytes so grams repeat
+        data = rng.integers(0, 4, 5000, dtype=np.uint8)
+        got = de.match_candidates(data)
+        want = ref_candidates(data)
+        # positions whose gram wraps into padding are masked to -1
+        assert (got[: data.size - 3] == want[: data.size - 3]).all()
+
+    def test_window_limit(self):
+        # same gram 70000 apart: candidate must be masked (> 64 KiB)
+        data = np.zeros(70016, np.uint8)
+        data[:4] = [1, 2, 3, 4]
+        data[70000:70004] = [1, 2, 3, 4]
+        data[4:70000] = (np.arange(69996) % 251).astype(np.uint8) + 4
+        got = de.match_candidates(data)
+        assert got[70000] == -1 or 70000 - got[70000] <= 65535
+
+
+class TestRoundTrip:
+    def vectors(self):
+        rng = np.random.default_rng(3)
+        text = (b"the quick brown fox jumps over the lazy dog. " * 400)
+        yield b""
+        yield b"a"
+        yield b"Hello, world." * 100
+        yield bytes(5000)                       # zeros
+        yield rng.integers(0, 256, 4096, dtype=np.uint8).tobytes()  # random
+        yield text
+        yield text + bytes(10000) + text        # mixed
+
+    def test_block_roundtrip(self):
+        from lz4tpu.block import decode_block
+
+        for payload in self.vectors():
+            comp = de.compress_block_device(payload)
+            if not payload:
+                assert comp == b""
+                continue
+            got = decode_block(np.frombuffer(comp, np.uint8), len(payload))
+            assert bytes(got) == payload
+
+    def test_frame_roundtrip_device_backend(self):
+        rng = np.random.default_rng(9)
+        payload = (
+            b"framed device-encoded payload " * 3000
+            + rng.integers(0, 256, 20000, dtype=np.uint8).tobytes()
+        )
+        frame = lz4tpu.compress(payload, backend="device")
+        assert lz4tpu.decompress(frame, backend="host") == payload
+
+    def test_linked_blocks_history(self):
+        # block 2 should find matches in block 1 via the 64 KiB history
+        part = b"0123456789abcdef" * 64
+        payload = part * 80                      # > one 64 KiB block
+        frame = lz4tpu.compress(payload, backend="device",
+                                block_max_code=4)
+        assert lz4tpu.decompress(frame) == payload
+
+    def test_ratio_close_to_host(self):
+        text = open("/root/repo/README.md", "rb").read() * 8
+        dev = lz4tpu.compress(text, backend="device")
+        host = lz4tpu.compress(text)
+        # depth-1 nearest-candidate vs depth-64 hash chain: allow 15%
+        assert len(dev) <= len(host) * 1.15
