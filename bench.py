@@ -99,7 +99,7 @@ def main() -> int:
             sp._compile_program(prog.ops, prog.n_out)(comps[name])
             for name, _c, prog in sparse_progs
         ]
-        rows, flag = mx._decode_dense_device(
+        rows, flag, _ring = mx._decode_dense_device(
             tbl, scal, bmap, lit,
             n_sub=pk.n_sub, lit_rows=pk.lit.size // mx.ROWB,
             with_fix=pk.has_self,

@@ -260,7 +260,12 @@ def pack_dense(
     lit[: len(lit_stream)] = np.frombuffer(bytes(lit_stream), np.uint8)
     scal = np.stack(pk.scal_rows) if n_sub else np.zeros((0, 8), np.int32)
     for (c, slo, shi, _n) in out_spans:
-        scal[slo:shi, 0] = (np.arange(shi - slo) * SUB).astype(np.int32)
+        # only local_base mod 64 KiB matters (ring addressing is modular),
+        # which keeps the in-kernel f32 position math exact for chains of
+        # any length
+        scal[slo:shi, 0] = ((np.arange(shi - slo) * SUB) & 0xFFFF).astype(
+            np.int32
+        )
     tbl = np.stack(pk.tbl_rows) if n_sub else np.zeros((0, SLOTS), np.int32)
     bmap = (np.stack(pk.bmap_rows) if n_sub
             else np.zeros((0, SUB // 32), np.int32))
@@ -385,9 +390,13 @@ def _make_kernel(with_fix: bool):
             [v[:, r * w:(r + 1) * w] for r in range(nrows)], axis=0
         )
 
-    def kern(f8_ref, bmap_ref, scal_ref, lit_ref, out_ref, flag_ref, ring):
-        # 0 * NaN = NaN would poison the routing matmuls: zero the ring.
-        ring[...] = jnp.zeros((PAGES, ROWB), jnp.bfloat16)
+    def kern(f8_ref, bmap_ref, scal_ref, lit_ref, ring_in_ref,
+             out_ref, flag_ref, ring_out_ref, ring):
+        # Seed the history ring from the caller (zeros for a fresh
+        # chain; the previous part's final ring for a continuation).
+        # Never leave VMEM uninitialized: 0 * NaN = NaN would poison
+        # the routing matmuls.
+        ring[...] = ring_in_ref[...]
         flag_ref[0, 0] = 0
         n_sub = bmap_ref.shape[0]
 
@@ -534,6 +543,7 @@ def _make_kernel(with_fix: bool):
             return carry
 
         jax.lax.fori_loop(0, n_sub, body, 0)
+        ring_out_ref[...] = ring[...]
 
     return kern
 
@@ -542,58 +552,103 @@ def _make_kernel(with_fix: bool):
     __import__("jax").jit,
     static_argnames=("n_sub", "lit_rows", "with_fix", "interpret"),
 )
-def _decode_dense_device(tbl, scal, bmap, lit_u8, *, n_sub, lit_rows,
-                         with_fix=False, interpret=False):
+def _decode_dense_device(tbl, scal, bmap, lit_u8, ring_init=None, *,
+                         n_sub, lit_rows, with_fix=False, interpret=False):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     f8, litbf = dense_prelude(tbl, lit_u8, n_sub=n_sub, lit_rows=lit_rows)
-    rows, flag = pl.pallas_call(
+    if ring_init is None:
+        ring_init = jnp.zeros((PAGES, ROWB), jnp.bfloat16)
+    rows, flag, ring_out = pl.pallas_call(
         _make_kernel(with_fix),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n_sub * SUB // 128, 128), jnp.bfloat16),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((PAGES, ROWB), jnp.bfloat16),
         ),
         scratch_shapes=[pltpu.VMEM((PAGES, ROWB), jnp.bfloat16)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(f8, bmap, scal, litbf)
-    return rows.astype(jnp.uint8), flag
+    )(f8, bmap, scal, litbf, ring_init)
+    return rows.astype(jnp.uint8), flag, ring_out
+
+
+PART_SUBS = MAX_PART_OUT // SUB      # substeps per kernel call
+PART_LIT_CAP = 4 << 20               # literal bytes visible per part
+
+
+def decode_dense_rows(pack: DensePack, interpret: bool = False) -> np.ndarray:
+    """Decode a DensePack on device in ring-chained parts; returns the
+    flat uint8 row bytes (n_sub * SUB,) on host.
+
+    Large chains split at substep boundaries: the history ring is a
+    kernel input/output, so part k+1 seeds its ring with part k's final
+    64 KiB — the device analog of the reference's retained history
+    across Update calls (lz4ada.adb:678-680).  Literal windows rebase
+    per part so the VMEM-resident literal stream stays bounded."""
+    import jax
+    import jax.numpy as jnp
+
+    outs = []
+    ring = None
+    p0 = 0
+    while p0 < pack.n_sub:
+        p1 = min(p0 + PART_SUBS, pack.n_sub)
+        # shrink the part if its literal span exceeds the VMEM budget
+        while True:
+            lstart = int(pack.scal[p0, 1]) & ~2047
+            lend = int(pack.scal[p1 - 1, 1]) + SUB + LITROWS * ROWB
+            lend = (lend + 2047) & ~2047
+            if lend - lstart <= PART_LIT_CAP or p1 <= p0 + 1:
+                break
+            p1 = max(p0 + 1, p0 + (p1 - p0) // 2)
+        scal = pack.scal[p0:p1].copy()
+        scal[:, 1] -= lstart
+        lit = pack.lit[lstart:min(lend, pack.lit.size)]
+        if lit.size < lend - lstart:
+            lit = np.concatenate(
+                [lit, np.zeros(lend - lstart - lit.size, np.uint8)]
+            )
+        rows, flag, ring = _decode_dense_device(
+            jnp.asarray(pack.tbl[p0:p1]),
+            jnp.asarray(scal),
+            jnp.asarray(pack.bmap[p0:p1]),
+            jnp.asarray(lit),
+            ring,
+            n_sub=p1 - p0,
+            lit_rows=lit.size // ROWB,
+            with_fix=pack.has_self,
+            interpret=interpret,
+        )
+        if not pack.has_self:
+            assert int(jax.device_get(flag)[0, 0]) == 0, (
+                "packer promised no self references but the kernel saw some"
+            )
+        outs.append(np.asarray(jax.device_get(rows)).reshape(-1))
+        p0 = p1
+    return np.concatenate(outs) if len(outs) > 1 else outs[0]
 
 
 def decode_dense(pack: DensePack, interpret: bool = False) -> list:
     """Decode a DensePack on device; returns [(chain_id, bytes)]."""
-    import jax
-
-    out, flag = _decode_dense_device(
-        jax.numpy.asarray(pack.tbl),
-        jax.numpy.asarray(pack.scal),
-        jax.numpy.asarray(pack.bmap),
-        jax.numpy.asarray(pack.lit),
-        n_sub=pack.n_sub,
-        lit_rows=pack.lit.size // ROWB,
-        with_fix=pack.has_self,
-        interpret=interpret,
-    )
-    flat = np.asarray(jax.device_get(out)).reshape(-1)
-    if not pack.has_self:
-        assert int(jax.device_get(flag)[0, 0]) == 0, (
-            "packer promised no self references but the kernel saw some"
-        )
+    flat = decode_dense_rows(pack, interpret)
     res = []
     for (c, slo, shi, out_len) in pack.out_spans:
         res.append((c, flat[slo * SUB: slo * SUB + out_len].tobytes()))

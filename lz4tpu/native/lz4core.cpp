@@ -883,7 +883,9 @@ static void mxpk_end(mxpk_state* st) {
         // flag for output byte j lives in word (j & 63), bit (j >> 6)
         brow[m->dst & 63] |= (int32_t)(1u << (m->dst >> 6));
     }
-    srow[0] = (int32_t)(st->n_sub * MXPK_SUB);   // chain-local base
+    // only mod-64KiB matters (ring addressing is modular); keeps the
+    // in-kernel f32 position math exact for chains of any length
+    srow[0] = (int32_t)((st->n_sub * MXPK_SUB) & 0xFFFF);
     srow[1] = (int32_t)st->litbase;
     srow[2] = st->cur_self;
     st->n_sub++;

@@ -343,16 +343,12 @@ def plan_decode(buf: np.ndarray, parsed: ParseResult, table: SeqTable,
                 if stats is not None:
                     stats.note_engine("sparse", chain)
                 continue
-        lit_vol = int(table.lit_len[sl].sum())
-        if n_out_c <= mx.MAX_PART_OUT and lit_vol <= (2 << 20):
-            plan.dense_chains.append(chain)
-            dense_ranges.append((chain.seq_lo, chain.seq_hi))
-            if stats is not None:
-                stats.note_engine("dense", chain)
-            continue
-        plan.other.append(chain)
+        # any output size: decode_dense_rows ring-chains 4 MiB parts
+        del n_out_c
+        plan.dense_chains.append(chain)
+        dense_ranges.append((chain.seq_lo, chain.seq_hi))
         if stats is not None:
-            stats.note_engine("fallback", chain)
+            stats.note_engine("dense", chain)
     if dense_ranges:
         try:
             plan.dense_pack = mx.pack_dense_native(
@@ -393,31 +389,21 @@ def _decode_via_plan(
             handles.append(
                 ("sparse", chain, sp.decode_sparse_device(prog, comp_dev))
             )
+    dense_flat = None
     if plan.dense_pack is not None:
-        pk = plan.dense_pack
-        rows, flag = mx._decode_dense_device(
-            jnp.asarray(pk.tbl), jnp.asarray(pk.scal),
-            jnp.asarray(pk.bmap), jnp.asarray(pk.lit),
-            n_sub=pk.n_sub, lit_rows=pk.lit.size // mx.ROWB,
-            with_fix=pk.has_self, interpret=interpret,
-        )
-        handles.append(("dense", flag, rows))
+        dense_flat = mx.decode_dense_rows(plan.dense_pack, interpret)
     # fetch + assemble
     for kind, meta, h in handles:
-        if kind == "sparse":
-            chain = meta
-            out[chain.out_lo:chain.out_hi] = np.asarray(jax.device_get(h))
-        else:
-            flat = np.asarray(jax.device_get(h)).reshape(-1)
-            pk = plan.dense_pack
-            if not pk.has_self:
-                assert int(jax.device_get(meta)[0, 0]) == 0
-            for chain, (c, slo, shi, out_len) in zip(
-                plan.dense_chains, pk.out_spans
-            ):
-                out[chain.out_lo:chain.out_hi] = flat[
-                    slo * mx.SUB: slo * mx.SUB + out_len
-                ]
+        chain = meta
+        out[chain.out_lo:chain.out_hi] = np.asarray(jax.device_get(h))
+    if dense_flat is not None:
+        pk = plan.dense_pack
+        for chain, (c, slo, shi, out_len) in zip(
+            plan.dense_chains, pk.out_spans
+        ):
+            out[chain.out_lo:chain.out_hi] = dense_flat[
+                slo * mx.SUB: slo * mx.SUB + out_len
+            ]
     # stragglers through the segment kernel / resolver
     if plan.other:
         from .device import pallas_decode as pk_seg

@@ -156,3 +156,27 @@ class TestDecodeVectors:
         )
         (c, got), = mx.decode_dense(pack)
         assert got == decompress_host(data)
+
+
+class TestMultiPart:
+    """Chains larger than one kernel part: the history ring is carried
+    between parts as a kernel input/output."""
+
+    def test_large_chain_parts(self, monkeypatch):
+        # shrink the part size so the test stays fast
+        monkeypatch.setattr(mx, "PART_SUBS", 4)
+        rng = np.random.default_rng(5)
+        seqs = []
+        # ~25 KiB of output with matches reaching across part boundaries
+        base = rng.integers(0, 256, 600, dtype=np.uint8).tobytes()
+        seqs.append((base, 0, 1))
+        pos = 600
+        for k in range(300):
+            ll = int(rng.integers(0, 30))
+            lits = rng.integers(0, 256, ll, dtype=np.uint8).tobytes()
+            pos += ll
+            off = int(rng.integers(1, min(pos, 600 + k * 100) + 1))
+            ml = int(rng.integers(4, 120))
+            pos += ml
+            seqs.append((lits, ml, off))
+        roundtrip(seqs, interpret=INTERP)
