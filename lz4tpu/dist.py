@@ -232,3 +232,104 @@ def decompress_sharded(data, mesh: Mesh | None = None, reservation=None) -> byte
     out = decode_sharded(table, buf, mesh)
     _verify_checksums(buf, parsed, out, table)
     return out.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Data-parallel encode (BASELINE config: multi-host DP encoder round-trip)
+# ---------------------------------------------------------------------------
+
+def compress_sharded(
+    data,
+    mesh: Mesh | None = None,
+    *,
+    block_max_code: int = 7,
+    content_checksum: bool = True,
+    block_checksum: bool = False,
+    content_size: bool = False,
+    block_independence: bool = False,
+) -> bytes:
+    """LZ4 frame compression with block-parallel device match finding.
+
+    Encoding is embarrassingly parallel even with linked blocks: block
+    k's 64 KiB history is *input* data, known upfront, so every block's
+    sorted-gram candidate pass (device/encode.py) runs concurrently —
+    here as a batch matmul-style vmap whose leading (block) axis is
+    sharded across the mesh.  Token emission stays on the host per
+    block (byte-granular), and the frame assembles in block order, so
+    output is bit-identical to ``compress(backend="device")``.
+    """
+    import struct
+
+    from .api import _BLOCK_CODE_SIZE, _frame_descriptor
+    from .device.encode import _candidates_device
+    from .native import compress_block_cands
+    from .xxh32 import xxh32
+    from .constants import MAGIC_MODERN
+
+    data = bytes(data)
+    if mesh is None:
+        mesh = make_mesh()
+    block_max = _BLOCK_CODE_SIZE[block_max_code]
+    n_blocks = max(1, -(-len(data) // block_max))
+    HCAP = 65536
+
+    # Stage fixed-shape per-block buffers: [zero pad | history | block].
+    width = HCAP + block_max
+    width_pad = (width + 1023) // 1024 * 1024
+    n_pad = -(-n_blocks // mesh.size) * mesh.size
+    bufs = np.zeros((n_pad, width_pad), np.uint8)
+    first_valid = np.zeros(n_pad, np.int32)
+    spans = []
+    for b in range(n_blocks):
+        pos = b * block_max
+        chunk = data[pos:pos + block_max]
+        hist = b"" if block_independence else data[max(0, pos - HCAP):pos]
+        bufs[b, HCAP - len(hist):HCAP] = np.frombuffer(hist, np.uint8)
+        bufs[b, HCAP:HCAP + len(chunk)] = np.frombuffer(chunk, np.uint8)
+        first_valid[b] = HCAP - len(hist)
+        spans.append((len(hist), len(chunk)))
+
+    sharding = NamedSharding(mesh, P(AXIS, None))
+    batched = jax.jit(
+        jax.vmap(
+            functools.partial(_candidates_device.__wrapped__,
+                              n_pad=width_pad)
+        ),
+        in_shardings=sharding,
+        out_shardings=sharding,
+    )
+    cands = np.asarray(
+        jax.device_get(batched(jax.device_put(bufs, sharding)))
+    )
+
+    out = bytearray(struct.pack("<I", MAGIC_MODERN))
+    out += _frame_descriptor(
+        len(data) if content_size else None,
+        block_max_code, content_checksum, block_checksum,
+        block_independence,
+    )
+    for b in range(n_blocks):
+        hist_len, src_len = spans[b]
+        cand = np.array(cands[b, :HCAP + src_len])
+        # never reference the zero padding before the real history
+        cand[cand < first_valid[b]] = -1
+        # the emitter's joined buffer starts at the zero pad; positions
+        # shift uniformly so offsets are unchanged
+        comp = compress_block_cands(
+            bufs[b], HCAP, src_len, cand, lazy=True
+        )
+        chunk = data[b * block_max: b * block_max + src_len]
+        if comp and len(comp) < src_len:
+            out += struct.pack("<I", len(comp))
+            out += comp
+            blk = comp
+        else:
+            out += struct.pack("<I", src_len | 0x80000000)
+            out += chunk
+            blk = chunk
+        if block_checksum:
+            out += struct.pack("<I", xxh32(blk))
+    out += b"\x00\x00\x00\x00"
+    if content_checksum:
+        out += struct.pack("<I", xxh32(data))
+    return bytes(out)

@@ -89,3 +89,22 @@ class TestRoundTrip:
         host = lz4tpu.compress(text)
         # depth-1 nearest-candidate vs depth-64 hash chain: allow 15%
         assert len(dev) <= len(host) * 1.15
+
+
+class TestShardedEncode:
+    def test_matches_single_device(self):
+        import jax
+        from lz4tpu.dist import compress_sharded, make_mesh
+
+        rng = np.random.default_rng(11)
+        payload = (
+            b"sharded encoding payload with plenty of repetition " * 2000
+            + rng.integers(0, 256, 50000, dtype=np.uint8).tobytes()
+        )
+        mesh = make_mesh(min(8, len(jax.devices())))
+        frame = compress_sharded(payload, mesh, block_max_code=4)
+        assert lz4tpu.decompress(frame) == payload
+        # block-parallel output must match the sequential device encoder
+        seq = lz4tpu.compress(payload, backend="device", block_max_code=4,
+                              content_checksum=True)
+        assert frame == seq
