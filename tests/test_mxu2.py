@@ -1,0 +1,158 @@
+"""v2 MXU routing decoder: pack-time per-byte provenance resolution.
+
+Oracle testing mirrors the reference's vector strategy (SURVEY.md §4):
+every pack decodes bit-exactly against the host engine, which the
+vector suite pins to the reference.  The compiled kernel runs on TPU;
+CPU CI exercises the same kernel through the Pallas interpreter.
+"""
+
+import numpy as np
+import pytest
+
+import lz4tpu
+from lz4tpu import FOR_ALL
+from lz4tpu.device import mxu2
+from lz4tpu.frame import parse_frames
+from lz4tpu.pipeline import build_seq_table
+
+
+def _pack_of(data: bytes, chain_ranges=None) -> tuple:
+    buf = np.frombuffer(data, np.uint8)
+    parsed = parse_frames(buf, FOR_ALL)
+    table = build_seq_table(buf, parsed, FOR_ALL, data)
+    pack = mxu2.pack_dense2(
+        table.lit_len, table.match_len, table.match_off, table.lit_src,
+        buf, chain_ranges=chain_ranges,
+    )
+    return pack, table
+
+
+def _roundtrip(payload: bytes, **kw) -> None:
+    data = lz4tpu.compress(payload, **kw)
+    pack, table = _pack_of(data)
+    got = b"".join(seg for _c, seg in mxu2.decode_dense2(pack, interpret=True))
+    assert got == payload
+
+
+class TestPackResolution:
+    def test_code_kinds_partition(self):
+        rng = np.random.default_rng(0)
+        payload = (b"abcdef" * 3000
+                   + rng.integers(0, 256, 4000, dtype=np.uint8).tobytes())
+        data = lz4tpu.compress(payload)
+        pack, table = _pack_of(data)
+        code = pack.code.reshape(-1)[: table.n_out]
+        is_ring = (code >> 16) & 1
+        # ring sources always point before their own substep
+        j = np.arange(table.n_out)
+        src = code & 0xFFFF
+        sub_base = j & ~(mxu2.SUB - 1)
+        ring_j = j[is_ring == 1]
+        # mod-64Ki distance from the substep base is always within 64Ki
+        dist = (sub_base[ring_j] - src[is_ring == 1]) & 0xFFFF
+        assert (dist > 0).all() or ring_j.size == 0
+        # value bytes reproduce the payload directly where literal
+        vals = (code >> 17) & 255
+        out = np.frombuffer(payload, np.uint8)
+        mask = is_ring == 0
+        assert np.array_equal(vals[mask], out[: table.n_out][mask])
+
+    def test_self_overlap_rle(self):
+        # offset-1 RLE: every byte chains to the substep's first literal
+        _roundtrip(b"\x05" + b"\x00" * 50000 + b"tail")
+
+    def test_small_offsets(self):
+        pat = b"abcdefg"  # offset-7 chains, thousands of hops
+        _roundtrip(pat * 9000)
+
+    def test_far_offsets(self):
+        rng = np.random.default_rng(1)
+        block = rng.integers(0, 256, 60000, dtype=np.uint8).tobytes()
+        _roundtrip(block + b"x" * 100 + block)  # ~60 KiB back-references
+
+    def test_multi_chain_ranges(self):
+        rng = np.random.default_rng(2)
+        payload = (b"chain one text " * 800
+                   + rng.integers(0, 256, 3000, dtype=np.uint8).tobytes())
+        data = lz4tpu.compress(payload, block_max_code=4,
+                               block_independence=True)
+        buf = np.frombuffer(data, np.uint8)
+        parsed = parse_frames(buf, FOR_ALL)
+        table = build_seq_table(buf, parsed, FOR_ALL, data)
+        ranges = [(s.seq_lo, s.seq_hi) for s in table.spans]
+        pack = mxu2.pack_dense2(
+            table.lit_len, table.match_len, table.match_off,
+            table.lit_src, buf, chain_ranges=ranges,
+        )
+        assert len(pack.out_spans) == len(ranges)
+        got = b"".join(
+            seg for _c, seg in mxu2.decode_dense2(pack, interpret=True)
+        )
+        assert got == payload
+
+    def test_empty_chain(self):
+        pack = mxu2.pack_dense2(
+            np.zeros(0, np.int32), np.zeros(0, np.int32),
+            np.ones(0, np.int32), np.zeros(0, np.int32),
+            np.zeros(0, np.uint8),
+        )
+        assert pack.n_sub == 0
+        assert mxu2.decode_dense2(pack) == [(0, b"")]
+
+
+class TestKernelFuzz:
+    @pytest.mark.parametrize("seed", range(4))
+    def test_mixed_payload(self, seed):
+        rng = np.random.default_rng(seed)
+        parts = []
+        for _ in range(rng.integers(2, 6)):
+            kind = rng.integers(0, 3)
+            n = int(rng.integers(1, 30000))
+            if kind == 0:
+                parts.append(bytes([rng.integers(0, 256)]) * n)
+            elif kind == 1:
+                parts.append(rng.integers(0, 256, n, np.uint8).tobytes())
+            else:
+                word = rng.integers(0, 256, rng.integers(2, 40),
+                                    np.uint8).tobytes()
+                parts.append((word * (n // len(word) + 1))[:n])
+        _roundtrip(b"".join(parts))
+
+    def test_vector_t100k(self, vectors_dir):
+        data = (vectors_dir / "t100k.lz4").read_bytes()
+        ref = (vectors_dir / "t100k.bin").read_bytes()
+        pack, table = _pack_of(data)
+        got = b"".join(
+            seg for _c, seg in mxu2.decode_dense2(pack, interpret=True)
+        )
+        assert got == ref
+
+
+class TestRingChaining:
+    def test_ring_carry(self):
+        # Split one chain's substeps across two kernel launches: the
+        # second launch must seed its ring with the first's final state
+        # (the device analog of retained history across Update calls).
+        import jax
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(3)
+        payload = (b"ring carry payload " * 4000
+                   + rng.integers(0, 256, 20000, dtype=np.uint8).tobytes())
+        data = lz4tpu.compress(payload)
+        pack, table = _pack_of(data)
+        assert pack.n_sub >= 4
+        cut = pack.n_sub // 2
+        rows1, ring = mxu2._decode_dense2_device(
+            jnp.asarray(pack.code[:cut]), jnp.asarray(pack.scal[:cut]),
+            n_sub=cut, interpret=True,
+        )
+        rows2, _ = mxu2._decode_dense2_device(
+            jnp.asarray(pack.code[cut:]), jnp.asarray(pack.scal[cut:]),
+            ring, n_sub=pack.n_sub - cut, interpret=True,
+        )
+        flat = np.concatenate([
+            np.asarray(jax.device_get(rows1)).reshape(-1),
+            np.asarray(jax.device_get(rows2)).reshape(-1),
+        ])
+        assert flat[: table.n_out].tobytes() == payload
