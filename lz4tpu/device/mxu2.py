@@ -122,12 +122,13 @@ def pack_dense2(
     ml = np.ascontiguousarray(match_len, np.int32)
     mo = np.ascontiguousarray(match_off, np.int32)
 
+    use_native = native.available()
     codes = []
     scals = []
     out_spans = []
     sub_base = 0
     for c, (lo, hi) in enumerate(chain_ranges):
-        if getattr(native, "HAS_PACK2", False):
+        if use_native:
             code, n_out = native.pack_dense2_chain(
                 buf, ll[lo:hi], ls[lo:hi], ml[lo:hi], mo[lo:hi]
             )

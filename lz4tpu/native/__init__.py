@@ -85,6 +85,10 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         u8p, i32p, i32p, i32p, i32p, c.c_int64,
         i32p, i32p, i32p, u8p, c.c_int64, c.c_int64, i64p, c.c_int64, i32p,
     ]
+    lib.lz4tpu_pack_dense2.restype = c.c_int64
+    lib.lz4tpu_pack_dense2.argtypes = [
+        u8p, i32p, i32p, i32p, i32p, c.c_int64, i32p, c.c_int64,
+    ]
     return lib
 
 
@@ -242,6 +246,34 @@ def pack_dense_chain(
         raise OverflowError(f"pack_dense failed with status {-n}")
     del slots
     return int(n), int(lit_out.value), bool(has_self.value)
+
+
+def pack_dense2_chain(
+    buf: np.ndarray,
+    lit_len: np.ndarray,
+    lit_src: np.ndarray,
+    match_len: np.ndarray,
+    match_off: np.ndarray,
+) -> tuple[np.ndarray, int]:
+    """Per-byte provenance codes for one chain (device/mxu2.py pack).
+
+    Returns (code int32 [n_out], n_out); bit-identical to the numpy
+    resolver in mxu2._pack_chain (asserted by tests).
+    """
+    c = ctypes
+    i32p = c.POINTER(c.c_int32)
+    n_out = int(lit_len.astype(np.int64).sum()
+                + match_len.astype(np.int64).sum())
+    code = np.empty(max(n_out, 1), np.int32)
+    n = _get().lz4tpu_pack_dense2(
+        _u8ptr(buf),
+        lit_len.ctypes.data_as(i32p), lit_src.ctypes.data_as(i32p),
+        match_len.ctypes.data_as(i32p), match_off.ctypes.data_as(i32p),
+        lit_len.size, code.ctypes.data_as(i32p), code.size,
+    )
+    if n < 0:
+        raise ValueError(f"pack_dense2 failed with status {-n}")
+    return code[:n], int(n)
 
 
 def compress_block_cands(

@@ -1048,4 +1048,38 @@ int64_t lz4tpu_pack_dense(
     return st.n_sub;
 }
 
+// ---------------------------------------------------------------------------
+// v2 dense pack: per-byte provenance resolution (device/mxu2.py).
+// Each output byte's code is either a known value (bit 16 clear,
+// byte in bits 17..24: literals and match bytes whose intra-substep
+// chain terminates at a literal) or a history-ring position (bit 16
+// set, source position mod 64 Ki in bits 0..15).  Memoized: code[s]
+// for s in the same 2 KiB substep is already final, so inheritance is
+// one copy — the per-byte generalization of the reference's
+// overlapping-match replay (lib/lz4ada.adb:893-903).
+int64_t lz4tpu_pack_dense2(
+    const uint8_t* buf,
+    const int32_t* ll, const int32_t* ls,
+    const int32_t* ml, const int32_t* mo,
+    int64_t n_seqs, int32_t* code, int64_t cap) {
+    int64_t j = 0;
+    for (int64_t i = 0; i < n_seqs; ++i) {
+        int64_t l = ll[i], m = ml[i];
+        if (j + l + m > cap) return -1;
+        const uint8_t* lp = buf + ls[i];
+        for (int64_t k = 0; k < l; ++k, ++j)
+            code[j] = ((int32_t)lp[k]) << 17;
+        int64_t off = mo[i] >= 1 ? mo[i] : 1;
+        if (m > 0 && j - off < 0) return -2;  // backref before chain
+        for (int64_t k = 0; k < m; ++k, ++j) {
+            int64_t s = j - off;
+            if (s >= (j & ~(int64_t)2047))
+                code[j] = code[s];
+            else
+                code[j] = (int32_t)(s & 0xFFFF) | 0x10000;
+        }
+    }
+    return j;
+}
+
 }  // extern "C"

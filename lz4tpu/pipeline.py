@@ -133,6 +133,8 @@ def build_seq_table(
     frame_bounds = [0] * (len(parsed.frames) + 1)
     for frame in parsed.frames:
         frame_start_out = n_out
+        frame_span_lo = len(spans)
+        frame_crosses = False
         for blk in frame.blocks:
             span = BlockSpan(
                 frame_id=frame.frame_id,
@@ -173,6 +175,13 @@ def build_seq_table(
             if bad.any():
                 _oracle_rerun(data, reservation)
                 raise DataCorruption("Back-reference out of range.")
+            if frame.block_independence and not frame_crosses:
+                # The reference ignores the B.Indep flag and always
+                # keeps history (SURVEY.md §2); tolerate streams whose
+                # flag lies by demoting the frame to linked chains.
+                frame_crosses = bool(
+                    ((ml > 0) & (mstart - mo < span.out_lo)).any()
+                )
             chunks.append(
                 (
                     starts.astype(np.int32),
@@ -187,6 +196,9 @@ def build_seq_table(
             span.seq_hi = n_seq
             span.out_hi = n_out
             spans.append(span)
+        if frame_crosses:
+            for s in spans[frame_span_lo:]:
+                s.independent = False
         frame_bounds[frame.frame_id + 1] = n_out
 
         # Content size accounting (reference: lz4ada.adb:469-476,

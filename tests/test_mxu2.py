@@ -100,6 +100,52 @@ class TestPackResolution:
         assert mxu2.decode_dense2(pack) == [(0, b"")]
 
 
+class TestNativePack:
+    def test_matches_numpy_resolver(self):
+        from lz4tpu import native
+
+        if not native.available():
+            pytest.skip("native engine unavailable")
+        rng = np.random.default_rng(7)
+        payload = (b"native/numpy pack equivalence " * 2500
+                   + bytes([rng.integers(0, 256)]) * 40000
+                   + rng.integers(0, 256, 20000, dtype=np.uint8).tobytes())
+        data = lz4tpu.compress(payload)
+        buf = np.frombuffer(data, np.uint8)
+        parsed = parse_frames(buf, FOR_ALL)
+        t = build_seq_table(buf, parsed, FOR_ALL, data)
+        code_c, n_c = native.pack_dense2_chain(
+            buf, t.lit_len, t.lit_src, t.match_len, t.match_off)
+        code_py, n_py = mxu2._pack_chain(
+            t.lit_len, t.lit_src, t.match_len, t.match_off, buf)
+        assert n_c == n_py == t.n_out
+        assert np.array_equal(code_c, code_py)
+
+
+class TestIndependenceFlagLies:
+    def test_linked_stream_with_indep_flag(self):
+        # The reference ignores B.Indep and always keeps history
+        # (SURVEY.md §2).  A stream whose flag lies (set, but matches
+        # cross block boundaries) must still decode bit-exactly: the
+        # pipeline demotes the frame to one linked chain.
+        from lz4tpu.xxh32 import xxh32
+
+        payload = b"cross-block history reference payload! " * 4000
+        data = bytearray(lz4tpu.compress(
+            payload, block_max_code=4, block_independence=False,
+            content_checksum=False,
+        ))
+        assert not data[4] & 0x20
+        data[4] |= 0x20                      # lie: claim independence
+        # descriptor = FLG..BD (no content size); HC = byte 1 of xxh32
+        data[6] = (xxh32(bytes(data[4:6])) >> 8) & 0xFF
+        fixed = bytes(data)
+        assert lz4tpu.decompress(fixed) == payload          # host engine
+        from lz4tpu.pipeline import decompress_device
+
+        assert decompress_device(fixed, interpret=True) == payload
+
+
 class TestKernelFuzz:
     @pytest.mark.parametrize("seed", range(4))
     def test_mixed_payload(self, seed):
