@@ -20,7 +20,7 @@ The program executes as a chain of dynamic_update_slice ops inside one
 XLA computation — HBM-bandwidth fills, no Pallas needed.  Chains whose
 matches cannot be expressed this way (deep patterns, too many chunks)
 are rejected at build time; the pipeline falls back to the segment
-kernel (pallas_decode.py) or the dense MXU kernel (mxu_decode.py).
+kernel (pallas_decode.py) or the dense MXU kernel (mxu2.py).
 
 Program shapes are static per input; jit caching is keyed on the op
 list, which the pipeline buckets by vector identity (a decode service

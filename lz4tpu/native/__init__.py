@@ -80,11 +80,6 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.lz4tpu_compress_block_cands.argtypes = [
         u8p, c.c_int64, c.c_int64, i32p, u8p, c.c_int64, c.c_int32,
     ]
-    lib.lz4tpu_pack_dense.restype = c.c_int64
-    lib.lz4tpu_pack_dense.argtypes = [
-        u8p, i32p, i32p, i32p, i32p, c.c_int64,
-        i32p, i32p, i32p, u8p, c.c_int64, c.c_int64, i64p, c.c_int64, i32p,
-    ]
     lib.lz4tpu_pack_dense2.restype = c.c_int64
     lib.lz4tpu_pack_dense2.argtypes = [
         u8p, i32p, i32p, i32p, i32p, c.c_int64, i32p, c.c_int64,
@@ -205,47 +200,6 @@ def scan_sequences(src) -> tuple[int, np.ndarray, np.ndarray, np.ndarray, np.nda
         lit_len[:n], lit_src[:n], match_len[:n], match_off[:n],
         int(total.value),
     )
-
-
-def pack_dense_chain(
-    buf: np.ndarray,
-    lit_len: np.ndarray,
-    lit_src: np.ndarray,
-    match_len: np.ndarray,
-    match_off: np.ndarray,
-    tbl: np.ndarray,
-    scal: np.ndarray,
-    bmap: np.ndarray,
-    lit: np.ndarray,
-    sub_base: int,
-    lit_base: int,
-) -> tuple[int, int, bool]:
-    """Pack one chain's sequences into MXU substeps (native engine).
-
-    Appends rows starting at ``sub_base`` and literal bytes starting at
-    ``lit_base``.  Returns (n_sub, new_lit_len, has_self).  Raises
-    OverflowError when the chain does not fit the dense-pack budgets.
-    """
-    c = ctypes
-    i32p = c.POINTER(c.c_int32)
-    lit_out = c.c_int64(0)
-    has_self = c.c_int32(0)
-    slots = tbl.shape[1]
-    n = _get().lz4tpu_pack_dense(
-        _u8ptr(buf),
-        lit_len.ctypes.data_as(i32p), lit_src.ctypes.data_as(i32p),
-        match_len.ctypes.data_as(i32p), match_off.ctypes.data_as(i32p),
-        lit_len.size,
-        tbl[sub_base:].ctypes.data_as(i32p),
-        scal[sub_base:].ctypes.data_as(i32p),
-        bmap[sub_base:].ctypes.data_as(i32p),
-        _u8ptr(lit), lit.size, lit_base,
-        c.byref(lit_out), tbl.shape[0] - sub_base, c.byref(has_self),
-    )
-    if n < 0:
-        raise OverflowError(f"pack_dense failed with status {-n}")
-    del slots
-    return int(n), int(lit_out.value), bool(has_self.value)
 
 
 def pack_dense2_chain(

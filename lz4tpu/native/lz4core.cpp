@@ -836,219 +836,6 @@ int64_t lz4tpu_compress_block_opt(
 }
 
 // ---------------------------------------------------------------------------
-// Dense-pack: sequence table -> MXU decoder substeps
-// (native port of lz4tpu/device/mxu_decode.py pack_dense; the Python
-//  packer is the reference — tests assert bit-identical outputs)
-// ---------------------------------------------------------------------------
-
-#define MXPK_SUB 2048
-#define MXPK_SLOTS 640
-#define MXPK_BMAP_WORDS (MXPK_SUB / 32)   /* 64 words x 32 bits = 2048 */
-#define MXPK_REWRITE_DEPTH 16
-#define MXPK_MIN_SELF_OFF 8
-#define LZ4TPU_E_PACK_OVERFLOW 7
-#define LZ4TPU_E_LIT_OVERFLOW 8
-
-typedef struct {
-    int32_t dst, ll, ml, off;
-    int64_t lit_pos;               // global literal-stream position
-} mxpk_slot;
-
-typedef struct {
-    const uint8_t* buf;
-    int32_t* tbl;
-    int32_t* scal;
-    int32_t* bmap;
-    uint8_t* lit;
-    int64_t lit_cap, lit_len;
-    int64_t max_sub, n_sub;
-    mxpk_slot meta[MXPK_SLOTS];
-    int n_slots, fill;
-    int64_t litbase;
-    int has_self, cur_self, err;
-} mxpk_state;
-
-static void mxpk_end(mxpk_state* st) {
-    if (st->n_sub >= st->max_sub) { st->err = LZ4TPU_E_PACK_OVERFLOW; return; }
-    int32_t* trow = st->tbl + st->n_sub * MXPK_SLOTS;
-    int32_t* srow = st->scal + st->n_sub * 8;
-    int32_t* brow = st->bmap + st->n_sub * MXPK_BMAP_WORDS;
-    for (int k = 0; k < MXPK_SLOTS; ++k) trow[k] = 0;
-    for (int k = 0; k < 8; ++k) srow[k] = 0;
-    for (int k = 0; k < MXPK_BMAP_WORDS; ++k) brow[k] = 0;
-    for (int k = 0; k < st->n_slots; ++k) {
-        const mxpk_slot* m = &st->meta[k];
-        trow[k] = (int32_t)((uint32_t)m->ll | ((uint32_t)m->ml << 8) |
-                            ((uint32_t)m->off << 15));
-        // flag for output byte j lives in word (j & 63), bit (j >> 6)
-        brow[m->dst & 63] |= (int32_t)(1u << (m->dst >> 6));
-    }
-    // only mod-64KiB matters (ring addressing is modular); keeps the
-    // in-kernel f32 position math exact for chains of any length
-    srow[0] = (int32_t)((st->n_sub * MXPK_SUB) & 0xFFFF);
-    srow[1] = (int32_t)st->litbase;
-    srow[2] = st->cur_self;
-    st->n_sub++;
-    st->n_slots = 0;
-    st->fill = 0;
-    st->litbase = st->lit_len;
-    st->cur_self = 0;
-}
-
-static void mxpk_slot_push(mxpk_state* st, int ll, int ml, int off,
-                           int64_t lit_pos) {
-    if (st->err) return;
-    if (st->n_slots >= MXPK_SLOTS) { st->err = LZ4TPU_E_SEQ_OVERFLOW; return; }
-    mxpk_slot* m = &st->meta[st->n_slots++];
-    m->dst = st->fill; m->ll = ll; m->ml = ml; m->off = off;
-    m->lit_pos = lit_pos;
-    st->fill += ll + ml;
-    if (st->fill == MXPK_SUB) mxpk_end(st);
-}
-
-static void mxpk_push_lit(mxpk_state* st, const uint8_t* p, int n) {
-    if (st->err) return;
-    if (st->lit_len + n > st->lit_cap) { st->err = LZ4TPU_E_LIT_OVERFLOW; return; }
-    int64_t pos = st->lit_len;
-    memcpy(st->lit + st->lit_len, p, (size_t)n);
-    st->lit_len += n;
-    mxpk_slot_push(st, n, 0, 1, pos);
-}
-
-// Map substep-local position p to a stable source; *is_lit selects the
-// meaning of *v (literal-stream position vs negative local position).
-// Returns run length of uniform shift, or -1 to punt to the fix kernel.
-static int mxpk_resolve(mxpk_state* st, int p, int depth,
-                        int* is_lit, int64_t* v) {
-    if (depth > MXPK_REWRITE_DEPTH) return -1;
-    int lo = 0, hi = st->n_slots;
-    while (lo + 1 < hi) {
-        int mid = (lo + hi) / 2;
-        if (st->meta[mid].dst <= p) lo = mid; else hi = mid;
-    }
-    const mxpk_slot* m = &st->meta[lo];
-    int rel = p - m->dst;
-    if (rel < m->ll) {
-        *is_lit = 1; *v = m->lit_pos + rel;
-        return m->ll - rel;
-    }
-    rel -= m->ll;
-    int run = m->ml - rel;
-    int src = m->dst + m->ll - m->off + rel;
-    if (src < 0) {
-        *is_lit = 0; *v = src;
-        return run < -src ? run : -src;
-    }
-    int run2 = mxpk_resolve(st, src, depth + 1, is_lit, v);
-    if (run2 < 0) return -1;
-    return run < run2 ? run : run2;
-}
-
-static void mxpk_push_match(mxpk_state* st, int64_t ml, int off) {
-    while (ml > 0 && !st->err) {
-        int room = MXPK_SUB - st->fill;
-        int take = (int)(ml < 127 ? ml : 127);
-        if (take > room) take = room;
-        int64_t src = (int64_t)st->fill - off;
-        int span = take < off ? take : off;
-        if (src + span <= 0) {
-            mxpk_slot_push(st, 0, take, off, 0);
-            ml -= take;
-            continue;
-        }
-        if (src < 0) {
-            take = (int)(-src);
-            mxpk_slot_push(st, 0, take, off, 0);
-            ml -= take;
-            continue;
-        }
-        int is_lit = 0; int64_t v = 0; int run;
-        if (off < MXPK_MIN_SELF_OFF) {
-            run = -1;
-        } else {
-            if (take > off) take = off;   // keep the source fully resolved
-            run = mxpk_resolve(st, (int)src, 0, &is_lit, &v);
-        }
-        if (run < 0) {
-            st->has_self = 1;
-            st->cur_self = 1;
-            mxpk_slot_push(st, 0, take, off, 0);
-            ml -= take;
-            continue;
-        }
-        if (take > run) take = run;
-        if (is_lit) {
-            if (st->lit_len + take > st->lit_cap) {
-                st->err = LZ4TPU_E_LIT_OVERFLOW; return;
-            }
-            // duplicate the bytes (see pack_dense docstring)
-            memmove(st->lit + st->lit_len, st->lit + v, (size_t)take);
-            int64_t pos = st->lit_len;
-            st->lit_len += take;
-            mxpk_slot_push(st, take, 0, 1, pos);
-        } else {
-            // v is a negative substep-local position; the ring only
-            // holds the 64 KiB before the substep base
-            if (v < -65536) {
-                st->has_self = 1;
-                st->cur_self = 1;
-                mxpk_slot_push(st, 0, take, off, 0);
-            } else {
-                mxpk_slot_push(st, 0, take, (int)((int64_t)st->fill - v), 0);
-            }
-        }
-        ml -= take;
-    }
-}
-
-// Pack one chain's sequence table into MXU decoder substeps.
-// Literal bytes are appended to `lit` starting at lit_base_in (shared
-// stream across chains). Returns n_sub, or -status on failure.
-int64_t lz4tpu_pack_dense(
-    const uint8_t* buf,
-    const int32_t* ll, const int32_t* ls,
-    const int32_t* ml, const int32_t* mo, int64_t n_seqs,
-    int32_t* tbl, int32_t* scal, int32_t* bmap,
-    uint8_t* lit, int64_t lit_cap, int64_t lit_base_in,
-    int64_t* lit_len_out, int64_t max_sub, int32_t* has_self_out) {
-    mxpk_state st;
-    st.buf = buf; st.tbl = tbl; st.scal = scal; st.bmap = bmap;
-    st.lit = lit; st.lit_cap = lit_cap; st.lit_len = lit_base_in;
-    st.max_sub = max_sub; st.n_sub = 0;
-    st.n_slots = 0; st.fill = 0; st.litbase = lit_base_in;
-    st.has_self = 0; st.cur_self = 0; st.err = 0;
-
-    for (int64_t i = 0; i < n_seqs && !st.err; ++i) {
-        int64_t lrem = ll[i];
-        int64_t lpos = ls[i];
-        while (lrem > 0 && !st.err) {
-            int room = MXPK_SUB - st.fill;
-            int take = (int)(lrem < 255 ? lrem : 255);
-            if (take > room) take = room;
-            mxpk_push_lit(&st, buf + lpos, take);
-            lpos += take; lrem -= take;
-        }
-        int off = mo[i] >= 1 ? mo[i] : 1;
-        mxpk_push_match(&st, ml[i], off);
-    }
-    if (!st.err && (st.fill > 0 || st.n_slots > 0)) {
-        int64_t pad = MXPK_SUB - st.fill;
-        static const uint8_t zeros[255] = {0};
-        while (pad > 0 && !st.err) {
-            int room = MXPK_SUB - st.fill;
-            int take = (int)(pad < 255 ? pad : 255);
-            if (take > room) take = room;
-            mxpk_push_lit(&st, zeros, take);
-            pad -= take;
-        }
-    }
-    if (st.err) return -(int64_t)st.err;
-    *lit_len_out = st.lit_len;
-    *has_self_out = st.has_self;
-    return st.n_sub;
-}
-
-// ---------------------------------------------------------------------------
 // v2 dense pack: per-byte provenance resolution (device/mxu2.py).
 // Each output byte's code is either a known value (bit 16 clear,
 // byte in bits 17..24: literals and match bytes whose intra-substep

@@ -390,7 +390,7 @@ def _decode_via_plan(
             and jax.devices()[0].platform == "cpu"):
         # compiled Pallas needs a TPU; on CPU CI the resolver covers
         # these chains (interpret-mode kernel coverage lives in
-        # tests/test_mxu_decode.py)
+        # tests/test_mxu2.py)
         plan = dataclasses.replace(
             plan, other=plan.other + plan.dense_chains,
             dense_chains=[], dense_pack=None,
