@@ -212,11 +212,104 @@ def decode_sharded(table, buf: np.ndarray, mesh: Mesh) -> np.ndarray:
     return np.asarray(out[: table.n_out])
 
 
+# ---------------------------------------------------------------------------
+# Chain-parallel decode: full-rate MXU kernel per device
+# ---------------------------------------------------------------------------
+
+def _balance_chains(chains, n_dev: int) -> list[list[int]]:
+    """Greedy largest-first assignment of chains to devices, balanced
+    by *output* bytes (expansion-ratio skew means input bytes are the
+    wrong load measure — SURVEY.md §7)."""
+    order = sorted(
+        range(len(chains)),
+        key=lambda i: chains[i].out_hi - chains[i].out_lo,
+        reverse=True,
+    )
+    load = [0] * n_dev
+    groups: list[list[int]] = [[] for _ in range(n_dev)]
+    for i in order:
+        d = min(range(n_dev), key=load.__getitem__)
+        groups[d].append(i)
+        load[d] += chains[i].out_hi - chains[i].out_lo
+    return groups
+
+
+def decode_sharded_chains(
+    table, buf: np.ndarray, mesh: Mesh, interpret: bool = False
+) -> np.ndarray:
+    """Chain-parallel decode: every device runs the dense MXU routing
+    kernel (device/mxu2.py) over its share of chains.
+
+    This is the full-rate multi-chip path: unlike the span-sharded
+    resolver above (whose per-device work is gather-bound), each device
+    executes the same roofline kernel the single-chip pipeline uses, so
+    throughput scales with devices as long as there are enough
+    independent chains (frames / independent blocks) to balance.
+    Outputs land in frame order at assembly via the chain spans —
+    the "ordered gather" of BASELINE.json's sharded config.
+    """
+    from .device import mxu2 as mx
+    from .pipeline import _chains_of
+
+    chains = _chains_of(table)
+    n_dev = mesh.devices.size
+    groups = _balance_chains(chains, n_dev)
+    packs = []
+    for g in groups:
+        ranges = [(chains[i].seq_lo, chains[i].seq_hi) for i in g]
+        packs.append(
+            mx.pack_dense2(
+                table.lit_len, table.match_len, table.match_off,
+                table.lit_src, buf, chain_ranges=ranges or [(0, 0)],
+            )
+        )
+    n_sub_max = max(1, max(p.n_sub for p in packs))
+    code = np.zeros((n_dev, n_sub_max, mx.SUB), np.int32)
+    scal = np.zeros((n_dev, n_sub_max, 1), np.int32)
+    for d, p in enumerate(packs):
+        code[d, : p.n_sub] = p.code
+        scal[d, : p.n_sub] = p.scal
+
+    def local(code_d, scal_d):
+        rows, _ring = mx._decode_dense2_device(
+            code_d[0], scal_d[0], n_sub=n_sub_max, interpret=interpret
+        )
+        return rows[None]
+
+    sharding = NamedSharding(mesh, P(AXIS))
+    rows = jax.jit(
+        jax.shard_map(
+            local, mesh=mesh, in_specs=(P(AXIS), P(AXIS)),
+            out_specs=P(AXIS),
+            # pallas_call outputs carry no vma metadata
+            check_vma=False,
+        )
+    )(jax.device_put(code, sharding), jax.device_put(scal, sharding))
+    rows_h = np.asarray(jax.device_get(rows))
+    out = np.empty(table.n_out, np.uint8)
+    for d, (g, p) in enumerate(zip(groups, packs)):
+        flat = rows_h[d].reshape(-1)
+        for (ci, slo, shi, out_len) in p.out_spans:
+            if out_len == 0:
+                continue
+            ch = chains[g[ci]]
+            out[ch.out_lo:ch.out_hi] = flat[
+                slo * mx.SUB: slo * mx.SUB + out_len
+            ]
+    return out
+
+
 def decompress_sharded(data, mesh: Mesh | None = None, reservation=None) -> bytes:
-    """One-shot data-parallel decode across a device mesh."""
+    """One-shot data-parallel decode across a device mesh.
+
+    Strategy: multiple independent chains shard chain-wise onto the
+    full-rate MXU kernel; a single monolithic chain falls back to the
+    span-sharded resolver (local doubling + 64 KiB tail exchange)."""
+    import jax as _jax
+
     from .constants import FOR_ALL
     from .frame import parse_frames
-    from .pipeline import _verify_checksums, build_seq_table
+    from .pipeline import _chains_of, _verify_checksums, build_seq_table
 
     if reservation is None:
         reservation = FOR_ALL
@@ -229,7 +322,16 @@ def decompress_sharded(data, mesh: Mesh | None = None, reservation=None) -> byte
     table = build_seq_table(buf, parsed, reservation, data)
     if table.n_out == 0:
         return b""
-    out = decode_sharded(table, buf, mesh)
+    on_cpu = _jax.devices()[0].platform == "cpu"
+    # CPU CI runs the kernel through the Pallas interpreter — fine for
+    # covering the sharded path, too slow for MB-scale corpora there.
+    use_chains = len(_chains_of(table)) > 1 and not (
+        on_cpu and table.n_out > (256 << 10)
+    )
+    if use_chains:
+        out = decode_sharded_chains(table, buf, mesh, interpret=on_cpu)
+    else:
+        out = decode_sharded(table, buf, mesh)
     _verify_checksums(buf, parsed, out, table)
     return out.tobytes()
 

@@ -39,6 +39,33 @@ def test_sharded_cross_span_chains(mesh):
     assert decompress_host(frame) == payload
 
 
+def test_chain_sharded_dense(mesh):
+    """Multiple independent chains decode chain-parallel through the
+    MXU routing kernel, one instance per device, ordered reassembly."""
+    import numpy as np
+
+    from lz4tpu import FOR_ALL
+    from lz4tpu.dist import decode_sharded_chains
+    from lz4tpu.frame import parse_frames
+    from lz4tpu.pipeline import build_seq_table
+
+    rng = np.random.default_rng(5)
+    frames = b"".join(
+        compress(
+            (b"chain %d payload " % k) * 300
+            + rng.integers(0, 256, 2000, dtype=np.uint8).tobytes()
+        )
+        for k in range(5)
+    )
+    ref = decompress_host(frames)
+    assert decompress_sharded(frames, mesh) == ref  # auto -> chains
+    buf = np.frombuffer(frames, np.uint8)
+    parsed = parse_frames(buf, FOR_ALL)
+    table = build_seq_table(buf, parsed, FOR_ALL, frames)
+    out = decode_sharded_chains(table, buf, mesh, interpret=True)
+    assert out.tobytes() == ref
+
+
 def test_sharded_partial_meshes(vectors_dir):
     data = (vectors_dir / "t100k.lz4").read_bytes()
     ref = (vectors_dir / "t100k.bin").read_bytes()
