@@ -211,7 +211,7 @@ def _make_kernel(n_sub: int):
         ).astype(jnp.float32)
         val = jnp.sum(yT * ohq, axis=0, keepdims=True) + base
 
-        row = scal_ref[i, 0]
+        row = scal_ref[i % 8, 0]
         ring[pl.ds(pl.multiple_of(row, SUB // ROWB), SUB // ROWB), :] = (
             _rows(val, SUB // ROWB).astype(jnp.bfloat16)
         )
@@ -233,13 +233,21 @@ def _decode_dense2_device(code, scal, ring_init=None, *,
 
     if ring_init is None:
         ring_init = jnp.zeros((PAGES, ROWB), jnp.bfloat16)
+    if n_sub % 8:
+        scal = jnp.concatenate(
+            [scal, jnp.zeros((8 - n_sub % 8, 1), jnp.int32)]
+        )
     rows, ring_out = pl.pallas_call(
         _make_kernel(n_sub),
         grid=(n_sub,),
         in_specs=[
             pl.BlockSpec((8, SUB // 8), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            # windowed SMEM (8 rows per window, shared by 8 steps): a
+            # whole-array SMEM input hits Mosaic's window-allocation
+            # limit past ~1024 rows, capping decodable chains at ~2 MiB
+            pl.BlockSpec((8, 1), lambda i: (i // 8, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((PAGES, ROWB), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],

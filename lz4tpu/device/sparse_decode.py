@@ -170,7 +170,10 @@ def _plan_block_fill(ops: tuple, n_out: int):
             patch_bytes += op.n
     if patch_bytes > max(1 << 16, n_out >> 6):
         return None
-    del covered  # uncovered blocks are fully patched (ops tile [0, n))
+    if not covered.any():
+        # nothing to block-fill: the hole-free concat path is cheaper
+        return None
+    # uncovered blocks are fully patched (ops tile [0, n) contiguously)
     return vals.reshape(-1, 1), tuple(patches)
 
 
@@ -186,18 +189,24 @@ def _block_fill(vals: np.ndarray):
     rows = _FILL_BLK // 128
 
     def kern(vals_ref, o_ref):
-        v = vals_ref[pl.program_id(0), 0]
+        v = vals_ref[pl.program_id(0) % 8, 0]
         o_ref[...] = jnp.full((rows, 128), v, jnp.int32).astype(jnp.uint8)
 
+    vals8 = np.concatenate(
+        [vals, np.zeros(((-vals.shape[0]) % 8, 1), np.int32)]
+    )
     return pl.pallas_call(
         kern,
         grid=(n_b,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        # windowed SMEM, 8 rows per window (whole-array SMEM inputs cap
+        # out around 1024 rows — see mxu2._decode_dense2_device)
+        in_specs=[pl.BlockSpec((8, 1), lambda i: (i // 8, 0),
+                               memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec((rows, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_b * rows, 128), jnp.uint8),
         interpret=jax.default_backend() == "cpu",
-    )(jnp.asarray(vals)).reshape(-1)
+    )(jnp.asarray(vals8)).reshape(-1)
 
 
 @functools.lru_cache(maxsize=256)

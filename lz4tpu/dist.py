@@ -247,49 +247,42 @@ def decode_sharded_chains(
     independent chains (frames / independent blocks) to balance.
     Outputs land in frame order at assembly via the chain spans —
     the "ordered gather" of BASELINE.json's sharded config.
+
+    There is no collective in this phase, so rather than padding every
+    device's pack to a rectangle for one SPMD program (n_dev x the
+    largest pack in host/HBM bytes under chain-size skew), each local
+    device gets its own right-sized async launch; executions overlap
+    across devices.  On a multi-host pod each host drives its local
+    mesh column the same way.
     """
     from .device import mxu2 as mx
     from .pipeline import _chains_of
 
     chains = _chains_of(table)
-    n_dev = mesh.devices.size
-    groups = _balance_chains(chains, n_dev)
-    packs = []
-    for g in groups:
+    devices = list(mesh.devices.flat)
+    groups = _balance_chains(chains, len(devices))
+    handles = []
+    for dev, g in zip(devices, groups):
+        if not g:
+            continue
         ranges = [(chains[i].seq_lo, chains[i].seq_hi) for i in g]
-        packs.append(
-            mx.pack_dense2(
-                table.lit_len, table.match_len, table.match_off,
-                table.lit_src, buf, chain_ranges=ranges or [(0, 0)],
-            )
+        pack = mx.pack_dense2(
+            table.lit_len, table.match_len, table.match_off,
+            table.lit_src, buf, chain_ranges=ranges,
         )
-    n_sub_max = max(1, max(p.n_sub for p in packs))
-    code = np.zeros((n_dev, n_sub_max, mx.SUB), np.int32)
-    scal = np.zeros((n_dev, n_sub_max, 1), np.int32)
-    for d, p in enumerate(packs):
-        code[d, : p.n_sub] = p.code
-        scal[d, : p.n_sub] = p.scal
-
-    def local(code_d, scal_d):
+        if pack.n_sub == 0:
+            continue
         rows, _ring = mx._decode_dense2_device(
-            code_d[0], scal_d[0], n_sub=n_sub_max, interpret=interpret
+            jax.device_put(pack.code, dev),
+            jax.device_put(pack.scal, dev),
+            n_sub=pack.n_sub, interpret=interpret,
         )
-        return rows[None]
+        handles.append((g, pack, rows))
 
-    sharding = NamedSharding(mesh, P(AXIS))
-    rows = jax.jit(
-        jax.shard_map(
-            local, mesh=mesh, in_specs=(P(AXIS), P(AXIS)),
-            out_specs=P(AXIS),
-            # pallas_call outputs carry no vma metadata
-            check_vma=False,
-        )
-    )(jax.device_put(code, sharding), jax.device_put(scal, sharding))
-    rows_h = np.asarray(jax.device_get(rows))
     out = np.empty(table.n_out, np.uint8)
-    for d, (g, p) in enumerate(zip(groups, packs)):
-        flat = rows_h[d].reshape(-1)
-        for (ci, slo, shi, out_len) in p.out_spans:
+    for g, pack, rows in handles:
+        flat = np.asarray(jax.device_get(rows)).reshape(-1)
+        for (ci, slo, shi, out_len) in pack.out_spans:
             if out_len == 0:
                 continue
             ch = chains[g[ci]]
@@ -309,7 +302,10 @@ def decompress_sharded(data, mesh: Mesh | None = None, reservation=None) -> byte
 
     from .constants import FOR_ALL
     from .frame import parse_frames
-    from .pipeline import _chains_of, _verify_checksums, build_seq_table
+    from .pipeline import (
+        _DENSE_MAX_CHAIN_OUT, _chains_of, _verify_checksums,
+        build_seq_table,
+    )
 
     if reservation is None:
         reservation = FOR_ALL
@@ -323,10 +319,14 @@ def decompress_sharded(data, mesh: Mesh | None = None, reservation=None) -> byte
     if table.n_out == 0:
         return b""
     on_cpu = _jax.devices()[0].platform == "cpu"
+    chains = _chains_of(table)
     # CPU CI runs the kernel through the Pallas interpreter — fine for
     # covering the sharded path, too slow for MB-scale corpora there.
-    use_chains = len(_chains_of(table)) > 1 and not (
-        on_cpu and table.n_out > (256 << 10)
+    # Oversized chains (packer transient memory cap) span-shard instead.
+    use_chains = (
+        len(chains) > 1
+        and max(c.out_hi - c.out_lo for c in chains) <= _DENSE_MAX_CHAIN_OUT
+        and not (on_cpu and table.n_out > (256 << 10))
     )
     if use_chains:
         out = decode_sharded_chains(table, buf, mesh, interpret=on_cpu)
@@ -372,7 +372,7 @@ def compress_sharded(
     if mesh is None:
         mesh = make_mesh()
     block_max = _BLOCK_CODE_SIZE[block_max_code]
-    n_blocks = max(1, -(-len(data) // block_max))
+    n_blocks = -(-len(data) // block_max)     # 0 blocks for empty input
     HCAP = 65536
 
     # Stage fixed-shape per-block buffers: [zero pad | history | block].
@@ -391,18 +391,19 @@ def compress_sharded(
         first_valid[b] = HCAP - len(hist)
         spans.append((len(hist), len(chunk)))
 
-    sharding = NamedSharding(mesh, P(AXIS, None))
-    batched = jax.jit(
-        jax.vmap(
-            functools.partial(_candidates_device.__wrapped__,
-                              n_pad=width_pad)
-        ),
-        in_shardings=sharding,
-        out_shardings=sharding,
-    )
-    cands = np.asarray(
-        jax.device_get(batched(jax.device_put(bufs, sharding)))
-    )
+    if n_blocks:
+        sharding = NamedSharding(mesh, P(AXIS, None))
+        batched = jax.jit(
+            jax.vmap(
+                functools.partial(_candidates_device.__wrapped__,
+                                  n_pad=width_pad)
+            ),
+            in_shardings=sharding,
+            out_shardings=sharding,
+        )
+        cands = np.asarray(
+            jax.device_get(batched(jax.device_put(bufs, sharding)))
+        )
 
     out = bytearray(struct.pack("<I", MAGIC_MODERN))
     out += _frame_descriptor(
@@ -412,13 +413,15 @@ def compress_sharded(
     )
     for b in range(n_blocks):
         hist_len, src_len = spans[b]
-        cand = np.array(cands[b, :HCAP + src_len])
-        # never reference the zero padding before the real history
-        cand[cand < first_valid[b]] = -1
-        # the emitter's joined buffer starts at the zero pad; positions
-        # shift uniformly so offsets are unchanged
+        fv = int(first_valid[b])
+        # Hand the emitter a buffer that STARTS at the first real byte:
+        # its backward match extension stops at position 0, so it can
+        # never walk into the zero padding before the history (which
+        # would emit back-references reaching before the frame start).
+        cand = np.array(cands[b, fv:HCAP + src_len])
+        cand = np.where(cand >= fv, cand - fv, -1).astype(np.int32)
         comp = compress_block_cands(
-            bufs[b], HCAP, src_len, cand, lazy=True
+            bufs[b, fv:], HCAP - fv, src_len, cand, lazy=True
         )
         chunk = data[b * block_max: b * block_max + src_len]
         if comp and len(comp) < src_len:

@@ -50,3 +50,23 @@ def test_device_deep_chain():
     frame = compress(payload, block_max_code=4)
     assert decompress_device(frame) == payload
     assert decompress_host(frame) == payload
+
+
+def test_sparse_fill_plan_selectivity():
+    """Block-fill plan only claims fill-dominated programs: tiny chains
+    with no fully-covered 512 KiB block stay on the concat path, and a
+    zeros-like program is claimed with no patches beyond boundaries."""
+    from lz4tpu.device import sparse_decode as sp
+
+    tiny = (sp.SparseOp("copy", 0, 4096, src=7),)
+    assert sp._plan_block_fill(tiny, 4096) is None
+    big = (
+        sp.SparseOp("fill", 0, 9_000_000, pattern=b"\x00"),
+        sp.SparseOp("copy", 9_000_000, 100, src=7),
+    )
+    plan = sp._plan_block_fill(big, 9_000_100)
+    assert plan is not None
+    vals, patches = plan
+    assert vals.shape[0] == -(-9_000_100 // sp._FILL_BLK)
+    # patches: the copy + the fill's partial tail block, both bounded
+    assert sum(n for *_x, n in patches) <= sp._FILL_BLK

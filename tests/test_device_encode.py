@@ -92,6 +92,32 @@ class TestRoundTrip:
 
 
 class TestShardedEncode:
+    def test_padding_never_referenced(self):
+        # Regression: the staging buffer zero-pads before the real
+        # history; the emitter's backward match extension must not walk
+        # into it (it would emit back-references before frame start).
+        import jax
+        from lz4tpu.dist import compress_sharded, make_mesh
+
+        payload = (b"\x00ABCDEFGH\x00\x00ABCDEFGH"
+                   + b"the rest of the payload " * 40)
+        mesh = make_mesh(min(8, len(jax.devices())))
+        frame = compress_sharded(payload, mesh, block_max_code=4)
+        assert lz4tpu.decompress(frame) == payload
+        seq = lz4tpu.compress(payload, backend="device", block_max_code=4,
+                              content_checksum=True)
+        assert frame == seq
+
+    def test_empty_input(self):
+        import jax
+        from lz4tpu.dist import compress_sharded, make_mesh
+
+        mesh = make_mesh(min(8, len(jax.devices())))
+        frame = compress_sharded(b"", mesh)
+        assert lz4tpu.decompress(frame) == b""
+        assert frame == lz4tpu.compress(b"", backend="device",
+                                        content_checksum=True)
+
     def test_matches_single_device(self):
         import jax
         from lz4tpu.dist import compress_sharded, make_mesh
