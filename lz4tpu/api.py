@@ -30,11 +30,91 @@ from .xxh32 import xxh32
 __all__ = ["decompress", "compress", "decompress_host"]
 
 
+def _decompress_host_batch(arr: np.ndarray, reservation) -> bytes:
+    """Linear-buffer batch decode: parse the frame/block index, then
+    native-decode every block straight into one output array.
+
+    Unlike the streaming ring (bounded memory, byte-at-a-time capable),
+    a whole-buffer decode can use a linear per-frame output region:
+    back-references index it directly and the decoder's wild-copy fast
+    paths are always in range.  Raises on any anomaly; the caller falls
+    back to the streaming engine, which reproduces the reference's
+    exact diagnostics.
+    """
+    from . import native
+    from .errors import err_block_checksum, err_content_checksum
+    from .frame import parse_frames
+
+    parsed = parse_frames(arr, reservation)
+    parts: list = []
+    for frame in parsed.frames:
+        if frame.content_size is not None:
+            cap = int(frame.content_size)
+        else:
+            # exact upper bound: block_max per compressed block
+            cap = sum(
+                frame.block_max if b.is_compressed else b.comp_len
+                for b in frame.blocks
+            )
+        fbuf = np.empty(cap + 16, np.uint8)   # +16 wild-copy slack
+        op = 0
+        for blk in frame.blocks:
+            payload = arr[blk.comp_off:blk.comp_off + blk.comp_len]
+            if blk.checksum is not None:
+                got = native.native_xxh32(payload)
+                if got != blk.checksum:
+                    raise err_block_checksum(blk.checksum, got)
+            if not blk.is_compressed:
+                while op + blk.comp_len > cap:
+                    cap *= 2
+                    nbuf = np.empty(cap + 16, np.uint8)
+                    nbuf[:op] = fbuf[:op]
+                    fbuf = nbuf
+                fbuf[op:op + blk.comp_len] = payload
+                op += blk.comp_len
+                continue
+            while True:
+                st, new_op, _err = native.decode_block_ring(
+                    payload, fbuf[: cap], op, 0
+                )
+                if st == native.OK:
+                    op = new_op
+                    break
+                if st == native.E_DST_OVERFLOW and frame.content_size is None:
+                    cap *= 2
+                    nbuf = np.empty(cap + 16, np.uint8)
+                    nbuf[:op] = fbuf[:op]
+                    fbuf = nbuf
+                    continue
+                raise DataCorruption(f"block decode status {st}")
+        if frame.content_size is not None and op != frame.content_size:
+            raise DataCorruption("content size mismatch")
+        if frame.content_checksum is not None:
+            got = native.native_xxh32(fbuf[:op])
+            if got != frame.content_checksum:
+                raise err_content_checksum(got, frame.content_checksum)
+        parts.append(fbuf[:op].tobytes())
+    return parts[0] if len(parts) == 1 else b"".join(parts) if parts else b""
+
+
 def decompress_host(data, reservation: Reservation = FOR_ALL) -> bytes:
-    """Decode a whole buffer (any mix of concatenated frames) on the host."""
+    """Decode a whole buffer (any mix of concatenated frames) on the host.
+
+    Fast path: linear-buffer batch decode; any anomaly (malformed
+    input, checksum mismatch, reservation conflict) re-runs the
+    streaming engine, whose diagnostics are byte-identical to the
+    reference's."""
     arr = np.frombuffer(bytes(data), dtype=np.uint8)
     if arr.size == 0:
         return b""
+    try:
+        return _decompress_host_batch(arr, reservation)
+    except Exception:
+        pass  # exact error (or quirk tolerance) via the streaming path
+    return _decompress_host_streaming(arr, reservation)
+
+
+def _decompress_host_streaming(arr, reservation: Reservation) -> bytes:
     ctx = Decompressor(reservation)
     out = bytearray()
     pos = 0

@@ -181,8 +181,74 @@ int32_t lz4tpu_decode_block_ring(
     int64_t ip = 0;
     int64_t op = out_pos;
     *err_a = 0;
+    // Wild copies overshoot the logical write position by up to 15
+    // bytes.  In the wrapped-ring regime bytes ahead of `op` ARE the
+    // still-reachable history tail (reachable down to
+    // out_pos_history - 65535), so overshoot is only safe strictly
+    // below that line; with no retained history it is always safe.
+    const int64_t wild_end =
+        out_pos_history == 0
+            ? buf_len
+            : (out_pos_history - 65536 - 16 > 0
+                   ? out_pos_history - 65536 - 16 : 0);
+    // Shortcut guards for the dominant case (unextended token, all
+    // reads/writes provably in range): lit <= 14 read as one 16-byte
+    // copy, match <= 18 as 18 wild bytes.  Mirrors the structure of
+    // the reference's hot loop with its suppressed checks
+    // (lz4ada.adb:798-817) but gated to provably-safe regions.
+    const int64_t ip_fast = src_len - 32;
+    const int64_t op_fast = (wild_end < buf_len ? wild_end : buf_len) - 64;
     while (ip < src_len) {
         const uint8_t token = src[ip++];
+        if (token < 0xF0 && (token & 0x0F) != 0x0F
+            && ip < ip_fast && op < op_fast) {
+            const int64_t litf = token >> 4;
+            std::memcpy(buf + op, src + ip, 16);
+            ip += litf;
+            op += litf;
+            const int64_t offset =
+                (int64_t)src[ip] | ((int64_t)src[ip + 1] << 8);
+            ip += 2;
+            if (offset == 0) return LZ4TPU_E_OFFSET_ZERO;
+            const int64_t raw = op - offset;
+            if (raw >= 0 && offset >= 18) {
+                std::memcpy(buf + op, buf + raw, 18);
+                op += (token & 0x0F) + 4;
+                continue;
+            }
+            if (raw >= 0 && offset >= 8) {
+                std::memcpy(buf + op, buf + raw, 8);
+                std::memcpy(buf + op + 8, buf + raw + 8, 8);
+                std::memcpy(buf + op + 16, buf + raw + 16, 2);
+                op += (token & 0x0F) + 4;
+                continue;
+            }
+            // small offset or history reach: generic match copy below
+            int64_t mlen = (token & 0x0F) + 4;
+            int64_t remaining = mlen;
+            int64_t raw2 = raw;
+            if (raw2 < 0) {
+                const int64_t h_off = raw2 + out_pos_history;
+                if (h_off < 0) {
+                    *err_a = h_off;
+                    return LZ4TPU_E_BACKREF_RANGE;
+                }
+                int64_t h_len = -raw2;
+                if (h_len > remaining) h_len = remaining;
+                std::memcpy(buf + op, buf + h_off, (size_t)h_len);
+                op += h_len;
+                remaining -= h_len;
+                raw2 = 0;
+            }
+            while (remaining > 0) {
+                int64_t chunk = op - raw2;
+                if (chunk > remaining) chunk = remaining;
+                std::memcpy(buf + op, buf + raw2, (size_t)chunk);
+                op += chunk;
+                remaining -= chunk;
+            }
+            continue;
+        }
         int64_t lit = var_length(src, src_len, &ip, token >> 4);
         if (lit < 0) return LZ4TPU_E_TRUNCATED;
         if (ip + lit > src_len) {
@@ -196,7 +262,15 @@ int32_t lz4tpu_decode_block_ring(
         }
         if (lit > 0) {
             if (op + lit > buf_len) return LZ4TPU_E_DST_OVERFLOW;
-            std::memcpy(buf + op, src + ip, (size_t)lit);
+            if (lit <= 16 && ip + 16 <= src_len && op + 16 <= buf_len
+                && op + 16 <= wild_end) {
+                // wild copy (reference: suppressed-check Write_Output,
+                // lz4ada.adb:798-817): the buffer carries +8 slack and
+                // short literal runs dominate text streams
+                std::memcpy(buf + op, src + ip, 16);
+            } else {
+                std::memcpy(buf + op, src + ip, (size_t)lit);
+            }
             ip += lit;
             op += lit;
         }
@@ -231,6 +305,24 @@ int32_t lz4tpu_decode_block_ring(
             op += h_len;
             remaining -= h_len;
             raw = 0;
+        }
+        if (remaining > 0 && op - raw >= 8
+            && op + remaining + 8 <= buf_len
+            && op + remaining + 8 <= wild_end) {
+            // Wild 8-byte strides: write - read distance >= 8, so each
+            // chunk never overlaps its own source, and later chunks see
+            // earlier writes (correct overlap replication).
+            uint8_t* d = buf + op;
+            const uint8_t* s2 = buf + raw;
+            int64_t n = remaining;
+            op += remaining;
+            remaining = 0;
+            do {
+                std::memcpy(d, s2, 8);
+                d += 8;
+                s2 += 8;
+                n -= 8;
+            } while (n > 0);
         }
         if (remaining > 0) {
             // Copy from [raw, op); self-overlapping when offset < length.
