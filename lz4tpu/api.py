@@ -58,6 +58,14 @@ def _decompress_host_batch(arr: np.ndarray, reservation) -> bytes:
             )
         fbuf = np.empty(cap + 16, np.uint8)   # +16 wild-copy slack
         op = 0
+
+        def grow():
+            nonlocal cap, fbuf
+            cap *= 2
+            nbuf = np.empty(cap + 16, np.uint8)
+            nbuf[:op] = fbuf[:op]
+            fbuf = nbuf
+
         for blk in frame.blocks:
             payload = arr[blk.comp_off:blk.comp_off + blk.comp_len]
             if blk.checksum is not None:
@@ -66,10 +74,7 @@ def _decompress_host_batch(arr: np.ndarray, reservation) -> bytes:
                     raise err_block_checksum(blk.checksum, got)
             if not blk.is_compressed:
                 while op + blk.comp_len > cap:
-                    cap *= 2
-                    nbuf = np.empty(cap + 16, np.uint8)
-                    nbuf[:op] = fbuf[:op]
-                    fbuf = nbuf
+                    grow()
                 fbuf[op:op + blk.comp_len] = payload
                 op += blk.comp_len
                 continue
@@ -81,10 +86,7 @@ def _decompress_host_batch(arr: np.ndarray, reservation) -> bytes:
                     op = new_op
                     break
                 if st == native.E_DST_OVERFLOW and frame.content_size is None:
-                    cap *= 2
-                    nbuf = np.empty(cap + 16, np.uint8)
-                    nbuf[:op] = fbuf[:op]
-                    fbuf = nbuf
+                    grow()
                     continue
                 raise DataCorruption(f"block decode status {st}")
         if frame.content_size is not None and op != frame.content_size:
@@ -94,7 +96,7 @@ def _decompress_host_batch(arr: np.ndarray, reservation) -> bytes:
             if got != frame.content_checksum:
                 raise err_content_checksum(got, frame.content_checksum)
         parts.append(fbuf[:op].tobytes())
-    return parts[0] if len(parts) == 1 else b"".join(parts) if parts else b""
+    return b"".join(parts)  # single-part join returns it uncopied
 
 
 def decompress_host(data, reservation: Reservation = FOR_ALL) -> bytes:

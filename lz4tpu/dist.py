@@ -280,8 +280,10 @@ def decode_sharded_chains(
         handles.append((g, pack, rows))
 
     out = np.empty(table.n_out, np.uint8)
-    for g, pack, rows in handles:
-        flat = np.asarray(jax.device_get(rows)).reshape(-1)
+    # one device_get for all shards so transfers overlap
+    fetched = jax.device_get([rows for _g, _p, rows in handles])
+    for (g, pack, _rows), rows_h in zip(handles, fetched):
+        flat = np.asarray(rows_h).reshape(-1)
         for (ci, slo, shi, out_len) in pack.out_spans:
             if out_len == 0:
                 continue
@@ -298,8 +300,6 @@ def decompress_sharded(data, mesh: Mesh | None = None, reservation=None) -> byte
     Strategy: multiple independent chains shard chain-wise onto the
     full-rate MXU kernel; a single monolithic chain falls back to the
     span-sharded resolver (local doubling + 64 KiB tail exchange)."""
-    import jax as _jax
-
     from .constants import FOR_ALL
     from .frame import parse_frames
     from .pipeline import (
@@ -318,7 +318,7 @@ def decompress_sharded(data, mesh: Mesh | None = None, reservation=None) -> byte
     table = build_seq_table(buf, parsed, reservation, data)
     if table.n_out == 0:
         return b""
-    on_cpu = _jax.devices()[0].platform == "cpu"
+    on_cpu = jax.devices()[0].platform == "cpu"
     chains = _chains_of(table)
     # CPU CI runs the kernel through the Pallas interpreter — fine for
     # covering the sharded path, too slow for MB-scale corpora there.
