@@ -256,41 +256,57 @@ def decode_sharded_chains(
     mesh column the same way.
     """
     from .device import mxu2 as mx
-    from .pipeline import _chains_of
+    from .device import sparse_decode as sp
+    from .pipeline import _chains_of, _resolve_chain, plan_decode
 
     chains = _chains_of(table)
     devices = list(mesh.devices.flat)
     groups = _balance_chains(chains, len(devices))
-    handles = []
+
+    # Launch phase: per device, classify its chains exactly like the
+    # single-chip pipeline (sparse program / dense pack / resolver) and
+    # issue everything asynchronously; fetch afterwards so transfers
+    # and executions overlap across devices.
+    sparse_handles = []     # (chain, device_array)
+    dense_handles = []      # (plan, rows_device_array)
+    resolve_chains = []     # decoded synchronously below (rare)
     for dev, g in zip(devices, groups):
         if not g:
             continue
-        ranges = [(chains[i].seq_lo, chains[i].seq_hi) for i in g]
-        pack = mx.pack_dense2(
-            table.lit_len, table.match_len, table.match_off,
-            table.lit_src, buf, chain_ranges=ranges,
-        )
-        if pack.n_sub == 0:
-            continue
-        rows, _ring = mx._decode_dense2_device(
-            jax.device_put(pack.code, dev),
-            jax.device_put(pack.scal, dev),
-            n_sub=pack.n_sub, interpret=interpret,
-        )
-        handles.append((g, pack, rows))
+        plan = plan_decode(buf, None, table, chains=[chains[i] for i in g])
+        if plan.sparse:
+            comp_dev = jax.device_put(buf, dev)
+            for chain, prog in plan.sparse:
+                sparse_handles.append(
+                    (chain, sp.decode_sparse_device(prog, comp_dev))
+                )
+        pack = plan.dense_pack
+        if pack is not None and pack.n_sub:
+            rows, _ring = mx._decode_dense2_device(
+                jax.device_put(pack.code, dev),
+                jax.device_put(pack.scal, dev),
+                n_sub=pack.n_sub, interpret=interpret,
+            )
+            dense_handles.append((plan, rows))
+        resolve_chains.extend(plan.other)
 
     out = np.empty(table.n_out, np.uint8)
-    # one device_get for all shards so transfers overlap
-    fetched = jax.device_get([rows for _g, _p, rows in handles])
-    for (g, pack, _rows), rows_h in zip(handles, fetched):
+    fetched = jax.device_get(
+        [h for _c, h in sparse_handles] + [r for _p, r in dense_handles]
+    )
+    for (chain, _h), arr in zip(sparse_handles, fetched):
+        n_c = chain.out_hi - chain.out_lo
+        out[chain.out_lo:chain.out_hi] = np.asarray(arr)[:n_c]
+    for (plan, _r), rows_h in zip(dense_handles, fetched[len(sparse_handles):]):
         flat = np.asarray(rows_h).reshape(-1)
-        for (ci, slo, shi, out_len) in pack.out_spans:
-            if out_len == 0:
-                continue
-            ch = chains[g[ci]]
-            out[ch.out_lo:ch.out_hi] = flat[
+        for chain, (_ci, slo, _shi, out_len) in zip(
+            plan.dense_chains, plan.dense_pack.out_spans
+        ):
+            out[chain.out_lo:chain.out_hi] = flat[
                 slo * mx.SUB: slo * mx.SUB + out_len
             ]
+    for chain in resolve_chains:
+        out[chain.out_lo:chain.out_hi] = _resolve_chain(buf, table, chain)
     return out
 
 

@@ -331,14 +331,18 @@ _DENSE_MAX_CHAIN_OUT = 1 << 28   # packer transient ~ 40 B per out byte
 
 
 def plan_decode(buf: np.ndarray, parsed: ParseResult, table: SeqTable,
-                stats: DecodeStats | None = None):
-    """Classify every chain and pre-pack the dense batch."""
+                stats: DecodeStats | None = None, chains: list | None = None):
+    """Classify every chain and pre-pack the dense batch.
+
+    ``chains`` restricts planning to a subset (used by the sharded
+    chain-parallel path to plan one device's share); default is every
+    chain of the table."""
     from .device import mxu2 as mx
     from .device import sparse_decode as sp
 
     plan = DecodePlan(sparse=[], dense_chains=[], dense_pack=None, other=[])
     dense_ranges = []
-    for chain in _chains_of(table):
+    for chain in (_chains_of(table) if chains is None else chains):
         if chain.out_hi == chain.out_lo:
             continue
         sl = slice(chain.seq_lo, chain.seq_hi)

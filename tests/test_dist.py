@@ -66,6 +66,33 @@ def test_chain_sharded_dense(mesh):
     assert out.tobytes() == ref
 
 
+def test_chain_sharded_mixed_engines(mesh):
+    """A sharded corpus mixing RLE (sparse program) and text (dense
+    kernel) chains: each device group classifies like the single-chip
+    pipeline, so zeros never crawl through the routing matmul."""
+    import numpy as np
+
+    from lz4tpu import FOR_ALL
+    from lz4tpu.dist import decode_sharded_chains
+    from lz4tpu.frame import parse_frames
+    from lz4tpu.pipeline import build_seq_table
+
+    rng = np.random.default_rng(6)
+    frames = (
+        compress(b"\x00" * 100_000)
+        + compress(b"text payload with repetition " * 1500
+                   + rng.integers(0, 256, 5000, dtype=np.uint8).tobytes())
+        + compress(bytes([7]) * 60_000)
+    )
+    ref = decompress_host(frames)
+    buf = np.frombuffer(frames, np.uint8)
+    parsed = parse_frames(buf, FOR_ALL)
+    table = build_seq_table(buf, parsed, FOR_ALL, frames)
+    out = decode_sharded_chains(table, buf, mesh, interpret=True)
+    assert out.tobytes() == ref
+    assert decompress_sharded(frames, mesh) == ref
+
+
 def test_sharded_partial_meshes(vectors_dir):
     data = (vectors_dir / "t100k.lz4").read_bytes()
     ref = (vectors_dir / "t100k.bin").read_bytes()
