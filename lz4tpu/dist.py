@@ -50,9 +50,11 @@ def initialize_multihost(
     exchange riding ICI (XLA lowers the all_gather; there is no NCCL
     analog to manage — this *is* the TPU-native communication backend).
 
-    Per-host input staging: each host feeds its local shard of the
-    replicated inputs via ``jax.make_array_from_process_local_data``;
-    ``decompress_sharded`` handles single-host meshes transparently.
+    Per-host input staging: ``decompress_sharded`` stages replicated
+    inputs via ``jax.make_array_from_process_local_data``, launches
+    per-chain work only on each host's addressable devices, and merges
+    host outputs with a ``process_allgather`` (tested end-to-end by
+    tests/test_multihost.py with two real JAX processes).
     """
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
@@ -195,21 +197,38 @@ def decode_sharded(table, buf: np.ndarray, mesh: Mesh) -> np.ndarray:
     tail_iters = _ceil_log2(max(2, n_dev)) + 1
 
     produces = (table.lit_len + table.match_len) > 0
+    args = (
+        dev.pad_to(buf, comp_pad, 0),
+        dev.pad_to(table.out_start, s_pad, n_total),
+        dev.pad_to(table.lit_len, s_pad, 0),
+        dev.pad_to(table.lit_src, s_pad, 0),
+        dev.pad_to(table.match_off, s_pad, 1),
+        dev.pad_to(produces, s_pad, False),
+        np.int32(table.n_out),
+    )
+    multihost = jax.process_count() > 1
+    if multihost:
+        # inputs are replicated: every host stages its (identical) copy
+        rep = NamedSharding(mesh, P())
+        args = tuple(
+            jax.make_array_from_process_local_data(rep, np.asarray(a))
+            for a in args
+        )
+    else:
+        args = tuple(jnp.asarray(a) for a in args)
     out = _sharded_resolve(
-        jnp.asarray(dev.pad_to(buf, comp_pad, 0)),
-        jnp.asarray(dev.pad_to(table.out_start, s_pad, n_total)),
-        jnp.asarray(dev.pad_to(table.lit_len, s_pad, 0)),
-        jnp.asarray(dev.pad_to(table.lit_src, s_pad, 0)),
-        jnp.asarray(dev.pad_to(table.match_off, s_pad, 1)),
-        jnp.asarray(dev.pad_to(produces, s_pad, False)),
-        jnp.int32(table.n_out),
+        *args,
         span=span,
         w_tail=w_tail,
         local_iters=local_iters,
         tail_iters=tail_iters,
         mesh=mesh,
     )
-    return np.asarray(out[: table.n_out])
+    if multihost:
+        from jax.experimental import multihost_utils
+
+        out = multihost_utils.process_allgather(out, tiled=True)
+    return np.asarray(out)[: table.n_out]
 
 
 # ---------------------------------------------------------------------------
@@ -262,16 +281,19 @@ def decode_sharded_chains(
     chains = _chains_of(table)
     devices = list(mesh.devices.flat)
     groups = _balance_chains(chains, len(devices))
+    my_proc = jax.process_index()
 
-    # Launch phase: per device, classify its chains exactly like the
-    # single-chip pipeline (sparse program / dense pack / resolver) and
-    # issue everything asynchronously; fetch afterwards so transfers
-    # and executions overlap across devices.
+    # Launch phase: per LOCAL device, classify its chains exactly like
+    # the single-chip pipeline (sparse program / dense pack / resolver)
+    # and issue everything asynchronously; fetch afterwards so
+    # transfers and executions overlap across devices.  On a multi-host
+    # mesh each host drives only its addressable devices and the host
+    # outputs merge below.
     sparse_handles = []     # (chain, device_array)
     dense_handles = []      # (plan, rows_device_array)
     resolve_chains = []     # decoded synchronously below (rare)
     for dev, g in zip(devices, groups):
-        if not g:
+        if not g or dev.process_index != my_proc:
             continue
         plan = plan_decode(buf, None, table, chains=[chains[i] for i in g])
         if plan.sparse:
@@ -290,7 +312,8 @@ def decode_sharded_chains(
             dense_handles.append((plan, rows))
         resolve_chains.extend(plan.other)
 
-    out = np.empty(table.n_out, np.uint8)
+    multihost = jax.process_count() > 1
+    out = (np.zeros if multihost else np.empty)(table.n_out, np.uint8)
     fetched = jax.device_get(
         [h for _c, h in sparse_handles] + [r for _p, r in dense_handles]
     )
@@ -307,6 +330,14 @@ def decode_sharded_chains(
             ]
     for chain in resolve_chains:
         out[chain.out_lo:chain.out_hi] = _resolve_chain(buf, table, chain)
+    if multihost:
+        # disjoint chain ranges, zeros elsewhere: elementwise max over
+        # the per-host partial outputs is the ordered merge (over DCN)
+        from jax.experimental import multihost_utils
+
+        out = np.asarray(
+            multihost_utils.process_allgather(out)
+        ).max(axis=0)
     return out
 
 

@@ -1,0 +1,70 @@
+"""Real multi-process decode: 2 JAX processes x 4 CPU devices.
+
+Exercises the actual multi-host code paths (global replicated inputs
+via make_array_from_process_local_data, addressable-device launches,
+cross-host output merge) that a TPU pod slice uses — the closest CI
+analog to BASELINE.json's "2+ hosts" config.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+import pathlib
+
+import pytest
+
+_WORKER = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+port, pid = sys.argv[1], int(sys.argv[2])
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=2, process_id=pid)
+import numpy as np
+from lz4tpu import compress, decompress_host
+from lz4tpu.dist import decompress_sharded, make_mesh
+
+assert jax.device_count() == 8 and jax.local_device_count() == 4
+mesh = make_mesh()
+
+rng = np.random.default_rng(13)
+# (a) multi-chain corpus -> chain-parallel path (mixed engines)
+frames = (
+    compress(b"\x00" * 50_000)
+    + compress(b"multi-host text chain " * 900
+               + rng.integers(0, 256, 3000, dtype=np.uint8).tobytes())
+    + compress(bytes([9]) * 40_000)
+)
+assert decompress_sharded(frames, mesh) == decompress_host(frames)
+
+# (b) single-chain corpus -> span-sharded resolver + tail all_gather
+one = compress(b"span sharded single chain payload " * 2000)
+assert decompress_sharded(one, mesh) == decompress_host(one)
+print(f"WORKER{pid}_OK", flush=True)
+"""
+
+
+def test_two_process_decode(tmp_path):
+    # bounded by the communicate(timeout=240) below
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ)
+    repo = str(pathlib.Path(__file__).resolve().parent.parent)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(port), str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=240)[0].decode() for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-3000:]}"
+        assert f"WORKER{i}_OK" in out
