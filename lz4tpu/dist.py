@@ -448,9 +448,17 @@ def compress_sharded(
             in_shardings=sharding,
             out_shardings=sharding,
         )
-        cands = np.asarray(
-            jax.device_get(batched(jax.device_put(bufs, sharding)))
-        )
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            gbufs = jax.make_array_from_process_local_data(sharding, bufs)
+            cands = np.asarray(
+                multihost_utils.process_allgather(batched(gbufs), tiled=True)
+            )
+        else:
+            cands = np.asarray(
+                jax.device_get(batched(jax.device_put(bufs, sharding)))
+            )
 
     out = bytearray(struct.pack("<I", MAGIC_MODERN))
     out += _frame_descriptor(

@@ -43,6 +43,17 @@ assert decompress_sharded(frames, mesh) == decompress_host(frames)
 # (b) single-chain corpus -> span-sharded resolver + tail all_gather
 one = compress(b"span sharded single chain payload " * 2000)
 assert decompress_sharded(one, mesh) == decompress_host(one)
+
+# (c) block-parallel encode across both processes, bit-identical to
+# the sequential device encoder
+from lz4tpu.dist import compress_sharded
+payload = (b"multi-host encoder payload with repetition " * 2500
+           + rng.integers(0, 256, 40_000, dtype=np.uint8).tobytes())
+frame = compress_sharded(payload, mesh, block_max_code=4)
+assert decompress_host(frame) == payload
+from lz4tpu import compress as _c
+assert frame == _c(payload, backend="device", block_max_code=4,
+                   content_checksum=True)
 print(f"WORKER{pid}_OK", flush=True)
 """
 
