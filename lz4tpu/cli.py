@@ -197,6 +197,15 @@ def cmd_bench(args) -> int:
 
     from .api import decompress, decompress_host
 
+    profile_ctx = None
+    if getattr(args, "profile", None):
+        # device timeline trace (view with TensorBoard / Perfetto) —
+        # the rebuild's answer to the reference's build-time gprof
+        # hooks (SURVEY.md §5)
+        import jax
+
+        profile_ctx = jax.profiler.trace(args.profile)
+        profile_ctx.__enter__()
     total_in = total_out = 0.0
     t_total = 0.0
     for path in args.files:
@@ -248,6 +257,9 @@ def cmd_bench(args) -> int:
                 f"verify={st.verify_s * 1e3:.2f}ms",
                 file=sys.stderr,
             )
+    if profile_ctx is not None:
+        profile_ctx.__exit__(None, None, None)
+        print(f"profiler trace written to {args.profile}", file=sys.stderr)
     if t_total:
         print(
             f"TOTAL: {total_out / t_total / 1e6:.1f} MB/s decompressed",
@@ -282,6 +294,8 @@ def main(argv=None) -> int:
     pb.add_argument("--reps", type=int, default=3)
     pb.add_argument("--stats", action="store_true",
                     help="print DecodeStats counters (device/auto backends)")
+    pb.add_argument("--profile", metavar="DIR",
+                    help="write a jax.profiler trace of the run to DIR")
     pb.set_defaults(fn=cmd_bench)
 
     args = parser.parse_args(argv)
