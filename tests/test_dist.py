@@ -93,6 +93,21 @@ def test_chain_sharded_mixed_engines(mesh):
     assert decompress_sharded(frames, mesh) == ref
 
 
+@pytest.mark.parametrize("name", __import__("conftest").error_vector_names())
+def test_sharded_error_parity(vectors_dir, mesh, name):
+    """Corruption vectors raise the same exception class and exact
+    message through the sharded path as through the streaming engine
+    (which the error suite pins byte-identical to the reference)."""
+    from lz4tpu.constants import Reservation
+    from lz4tpu.errors import Lz4Error
+
+    data = (vectors_dir / f"{name}.err").read_bytes()
+    expected = (vectors_dir / f"{name}.eds").read_text().splitlines()[0]
+    with pytest.raises(Lz4Error) as exc:
+        decompress_sharded(data, mesh, Reservation.SINGLE_FRAME)
+    assert exc.value.ada_image() == expected
+
+
 def test_sharded_partial_meshes(vectors_dir):
     data = (vectors_dir / "t100k.lz4").read_bytes()
     ref = (vectors_dir / "t100k.bin").read_bytes()
