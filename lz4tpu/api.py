@@ -199,6 +199,7 @@ def compress(
     max_chain: int = 64,
     level: int = 6,
     backend: str = "host",
+    frame_format: str = "modern",
 ) -> bytes:
     """Compress ``data`` into a standard LZ4 frame.
 
@@ -206,12 +207,34 @@ def compress(
     checksum on), which is what the reference test vectors use.
     ``level >= 10`` switches to the optimal parser (exact backward-DP
     sequence pricing; slowest, best ratio).
+
+    ``frame_format="legacy"`` writes the Legacy Frame Format (magic
+    ``0x184C2102``, 8 MiB always-compressed blocks, no checksums, no
+    end mark — reference: lz4ada.adb:225-239): 11 bytes less framing
+    overhead, which is why the reference's tiny legacy vectors are
+    smaller than any modern frame can be.
     """
     data = bytes(data)
     from .native import compress_block
 
     if backend == "device":
         from .device.encode import compress_block_device
+
+    if frame_format == "legacy":
+        from .constants import MAGIC_LEGACY
+
+        out = bytearray(struct.pack("<I", MAGIC_LEGACY))
+        pos = 0
+        block_max = 8 << 20
+        while pos < len(data):
+            chunk = data[pos:pos + block_max]
+            # legacy blocks are always compressed and independent
+            comp = compress_block(chunk, max_chain=max_chain,
+                                  optimal=level >= 10)
+            out += struct.pack("<I", len(comp))
+            out += comp
+            pos += len(chunk)
+        return bytes(out)
 
     block_max = _BLOCK_CODE_SIZE[block_max_code]
     out = bytearray(struct.pack("<I", MAGIC_MODERN))

