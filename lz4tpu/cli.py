@@ -185,6 +185,7 @@ def cmd_compress(args) -> int:
         block_independence=args.block_independence,
         max_chain=args.max_chain,
         level=args.level,
+        frame_format="legacy" if args.legacy else "modern",
     )
     sys.stdout.buffer.write(frame)
     sys.stdout.buffer.flush()
@@ -285,6 +286,8 @@ def main(argv=None) -> int:
     pc.add_argument("--max-chain", type=int, default=64)
     pc.add_argument("--level", type=int, default=6,
                     help=">=10 selects the optimal parser")
+    pc.add_argument("--legacy", action="store_true",
+                    help="write the Legacy Frame Format")
     pc.set_defaults(fn=cmd_compress)
 
     pb = sub.add_parser("lz4-bench")
