@@ -38,6 +38,13 @@ from .stream import Decompressor, Format
 from .xxh32 import XXHash32, xxh32
 from .api import compress, decompress, decompress_host
 
+
+def decompress_to_device(data, reservation=FOR_ALL, **kw):
+    """Decode to a device-resident uint8 jax.Array (see pipeline)."""
+    from .pipeline import decompress_to_device as _impl
+
+    return _impl(data, reservation, **kw)
+
 __version__ = "0.1.0"
 
 __all__ = [
@@ -48,6 +55,7 @@ __all__ = [
     "compress",
     "decompress",
     "decompress_host",
+    "decompress_to_device",
     "Reservation",
     "EndOfFrame",
     "FOR_ALL",

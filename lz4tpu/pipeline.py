@@ -477,6 +477,87 @@ def _resolve_chain(buf: np.ndarray, table: SeqTable, chain) -> np.ndarray:
     return out[:n_loc]
 
 
+def decompress_to_device(
+    data,
+    reservation: Reservation = FOR_ALL,
+    interpret: bool = False,
+    verify: str = "host",
+):
+    """Decode a whole buffer and leave the output in device HBM.
+
+    Returns a ``jax.Array`` of uint8 with exactly the decoded bytes —
+    the API for TPU-resident consumers (the decoded tensor feeds the
+    next device computation without a host round trip, the deployment
+    the bench measures).
+
+    verify: "host" fetches a copy to verify block/content checksums
+    with reference-parity errors (the returned array itself stays on
+    device); "none" skips checksum verification (frame structure and
+    sequence grammar are still fully validated host-side).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .device import mxu2 as mx
+    from .device import sparse_decode as sp
+
+    buf = np.frombuffer(bytes(data), dtype=np.uint8)
+    if buf.size == 0:
+        return jnp.zeros(0, jnp.uint8)
+    parsed = parse_frames(buf, reservation)
+    table = build_seq_table(buf, parsed, reservation, data)
+    if table.n_out == 0:
+        return jnp.zeros(0, jnp.uint8)
+    plan = plan_decode(buf, parsed, table)
+    if (plan.dense_pack is not None and not interpret
+            and jax.devices()[0].platform == "cpu"):
+        plan = dataclasses.replace(
+            plan, other=plan.other + plan.dense_chains,
+            dense_chains=[], dense_pack=None,
+        )
+
+    segs = []   # (out_lo, device uint8 array of exactly chain length)
+    if plan.sparse:
+        comp_dev = jnp.asarray(buf)
+        for chain, prog in plan.sparse:
+            n_c = chain.out_hi - chain.out_lo
+            h = sp.decode_sparse_device(prog, comp_dev)
+            segs.append((chain.out_lo, h[:n_c]))
+    if plan.dense_pack is not None:
+        pk = plan.dense_pack
+        rows, _ring = mx._decode_dense2_device(
+            jnp.asarray(pk.code), jnp.asarray(pk.scal),
+            n_sub=pk.n_sub, interpret=interpret,
+        )
+        flat = rows.reshape(-1)
+        for chain, (_c, slo, _shi, out_len) in zip(
+            plan.dense_chains, pk.out_spans
+        ):
+            segs.append(
+                (chain.out_lo,
+                 jax.lax.dynamic_slice(flat, (slo * mx.SUB,), (out_len,)))
+            )
+    for chain in plan.other:
+        segs.append(
+            (chain.out_lo, jnp.asarray(_resolve_chain(buf, table, chain)))
+        )
+
+    @jax.jit
+    def assemble(parts):
+        out = jnp.zeros(table.n_out, jnp.uint8)
+        for (lo, _a), arr in zip(segs, parts):
+            out = jax.lax.dynamic_update_slice(out, arr, (lo,))
+        return out
+
+    out_dev = (segs[0][1] if len(segs) == 1 and segs[0][0] == 0
+               and segs[0][1].shape[0] == table.n_out
+               else assemble([a for _lo, a in segs]))
+    if verify == "host":
+        out_np = np.asarray(jax.device_get(out_dev))
+        _verify_checksums(buf, parsed, out_np, table)
+    return out_dev
+
+
 def decompress_device(
     data,
     reservation: Reservation = FOR_ALL,

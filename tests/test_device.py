@@ -70,3 +70,29 @@ def test_sparse_fill_plan_selectivity():
     assert vals.shape[0] == -(-9_000_100 // sp._FILL_BLK)
     # patches: the copy + the fill's partial tail block, both bounded
     assert sum(n for *_x, n in patches) <= sp._FILL_BLK
+
+
+def test_decompress_to_device(vectors_dir):
+    """Device-resident decode: output stays a jax.Array in HBM and is
+    bit-exact; checksum verification still reference-parity."""
+    import jax
+    import jax.numpy as jnp
+
+    import lz4tpu
+
+    for name in ("t100k", "skipz100", "z101legacyplus"):
+        data = (vectors_dir / f"{name}.lz4").read_bytes()
+        ref = (vectors_dir / f"{name}.bin").read_bytes()
+        out = lz4tpu.decompress_to_device(data, interpret=True)
+        assert isinstance(out, jax.Array) and out.dtype == jnp.uint8
+        assert bytes(jax.device_get(out).tobytes()) == ref
+    # verify="host" catches a corrupted content checksum
+    bad = bytearray((vectors_dir / "t100k.lz4").read_bytes())
+    bad[-1] ^= 0xFF
+    with pytest.raises(Lz4Error):
+        lz4tpu.decompress_to_device(bytes(bad), interpret=True)
+    # verify="none" skips checksum verification but still validates
+    # the sequence grammar
+    out = lz4tpu.decompress_to_device(bytes(bad), interpret=True,
+                                      verify="none")
+    assert out.shape[0] == 102400
