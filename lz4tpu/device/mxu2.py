@@ -270,22 +270,45 @@ def _decode_dense2_device(code, scal, ring_init=None, *,
     return rows.astype(jnp.uint8), ring_out
 
 
+PART_SUBS = 32768      # substeps per launch (64 MiB output, 256 MiB codes)
+
+
 def decode_dense2_rows(pack: DensePack2, interpret: bool = False,
-                       ring_init=None) -> np.ndarray:
+                       ring_init=None, part_subs: int | None = None,
+                       ) -> np.ndarray:
     """Decode a DensePack2 on device; returns flat uint8 row bytes
-    (n_sub * SUB,) on host.  Single kernel launch for any size: code
-    words and output rows stream through the grid's block pipeline, so
-    VMEM holds only the ring plus one substep's blocks."""
+    (n_sub * SUB,) on host.
+
+    One kernel launch streams code words and output rows through the
+    grid's block pipeline (VMEM holds only the ring plus one substep's
+    blocks), so a launch handles any size HBM affords.  Chains larger
+    than ``part_subs`` substeps split at substep boundaries across
+    launches, each seeding its ring with the previous part's final
+    64 KiB — the device analog of the reference's retained history
+    across Update calls (lz4ada.adb:678-680) — which bounds the
+    device-resident code array regardless of chain size."""
     import jax
     import jax.numpy as jnp
 
     if pack.n_sub == 0:
         return np.zeros(0, np.uint8)
-    rows, _ring = _decode_dense2_device(
-        jnp.asarray(pack.code), jnp.asarray(pack.scal), ring_init,
-        n_sub=pack.n_sub, interpret=interpret,
-    )
-    return np.asarray(jax.device_get(rows)).reshape(-1)
+    part = part_subs or PART_SUBS
+    if pack.n_sub <= part:
+        rows, _ring = _decode_dense2_device(
+            jnp.asarray(pack.code), jnp.asarray(pack.scal), ring_init,
+            n_sub=pack.n_sub, interpret=interpret,
+        )
+        return np.asarray(jax.device_get(rows)).reshape(-1)
+    outs = []
+    ring = ring_init
+    for p0 in range(0, pack.n_sub, part):
+        p1 = min(p0 + part, pack.n_sub)
+        rows, ring = _decode_dense2_device(
+            jnp.asarray(pack.code[p0:p1]), jnp.asarray(pack.scal[p0:p1]),
+            ring, n_sub=p1 - p0, interpret=interpret,
+        )
+        outs.append(np.asarray(jax.device_get(rows)).reshape(-1))
+    return np.concatenate(outs)
 
 
 def decode_dense2(pack: DensePack2, interpret: bool = False) -> list:

@@ -327,7 +327,12 @@ class DecodePlan:
 
 
 _SPARSE_MAX_SEQS = 512
-_DENSE_MAX_CHAIN_OUT = 1 << 28   # packer transient ~ 40 B per out byte
+# Chain-size caps for the dense packer: the native resolver's host
+# transient is the 4 B/byte code array (device HBM stays bounded by
+# part-wise launches, mxu2.PART_SUBS); the numpy fallback resolver's
+# pointer-doubling needs ~40 B/byte.
+_DENSE_MAX_CHAIN_OUT = 1 << 30
+_DENSE_MAX_CHAIN_OUT_NUMPY = 1 << 28
 
 
 def plan_decode(buf: np.ndarray, parsed: ParseResult, table: SeqTable,
@@ -340,6 +345,10 @@ def plan_decode(buf: np.ndarray, parsed: ParseResult, table: SeqTable,
     from .device import mxu2 as mx
     from .device import sparse_decode as sp
 
+    from . import native
+
+    dense_cap = (_DENSE_MAX_CHAIN_OUT if native.available()
+                 else _DENSE_MAX_CHAIN_OUT_NUMPY)
     plan = DecodePlan(sparse=[], dense_chains=[], dense_pack=None, other=[])
     dense_ranges = []
     for chain in (_chains_of(table) if chains is None else chains):
@@ -360,8 +369,8 @@ def plan_decode(buf: np.ndarray, parsed: ParseResult, table: SeqTable,
                 if stats is not None:
                     stats.note_engine("sparse", chain)
                 continue
-        if n_out_c > _DENSE_MAX_CHAIN_OUT:
-            # cap the packer's transient memory; the resolver streams
+        if n_out_c > dense_cap:
+            # cap the packer's host transient memory
             plan.other.append(chain)
             if stats is not None:
                 stats.note_engine("resolve", chain)

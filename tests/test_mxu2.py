@@ -174,6 +174,20 @@ class TestKernelFuzz:
         assert got == ref
 
 
+class TestPartedDecode:
+    def test_parts_match_single_launch(self):
+        rng = np.random.default_rng(8)
+        payload = (b"parted decode payload " * 6000
+                   + rng.integers(0, 256, 30000, dtype=np.uint8).tobytes())
+        data = lz4tpu.compress(payload)
+        pack, table = _pack_of(data)
+        assert pack.n_sub >= 8
+        whole = mxu2.decode_dense2_rows(pack, interpret=True)
+        parted = mxu2.decode_dense2_rows(pack, interpret=True, part_subs=3)
+        assert np.array_equal(whole, parted)
+        assert parted[: table.n_out].tobytes() == payload
+
+
 class TestRingChaining:
     def test_ring_carry(self):
         # Split one chain's substeps across two kernel launches: the
