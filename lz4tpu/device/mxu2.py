@@ -19,20 +19,25 @@ a pure function of the compressed stream — static at pack time:
   literal window: one int32 code word per output byte.
 
 * The kernel, per 2 KiB substep: decode the code word (VPU int ops),
-  build one 256-page one-hot, route the 64 KiB VMEM history ring with a
-  single (256,256)x(256,2048) bf16 matmul (exact: byte values <= 255,
-  exactly one hit per column), select the byte within the routed page
-  rows, add the known-value bytes, write the ring and the output block.
-  Substep code words stream from HBM via the grid's block pipeline.
+  route the 64 KiB VMEM history ring with ONE (256,256)x(256,1024)
+  bf16 matmul that serves TWO output bytes per column — bytes b and
+  b+1024 share column b with page weights {1, 256}; ring values are
+  <= 255 so the routed sum ring_a + 256*ring_b <= 65535 is exact in
+  the f32 accumulator and splits back into 8-bit fields — then select
+  each byte within its routed page row (int32 VPU ops), add the
+  known-value bytes, write the ring and the output block.  Substep
+  code words stream from HBM via the grid's block pipeline.
 
-Measured on v5e this runs within ~8% of the routing matmul's MXU
-roofline (t1111k: 0.82 ms for 1.14 MB, 556 substeps at 1.47 us).  A
-slot-table predecessor that derived provenance in-kernel (bitmap
-prefix sums, field matmuls, a fix-point pass for self references) ran
-3x slower; per-byte pack-time resolution subsumed all of it.  The
-ring is a kernel input/output, so multi-part and cross-device
-continuation chain naturally (reference analog: retained history
-across Update calls, lz4ada.adb:678-680).
+The paired matmul halves the MXU FLOPs per byte (2*65536 -> 65536)
+vs one column per byte; interleaved A/B on v5e measures the paired +
+int-select kernel ~20% faster end-to-end than the unpaired one (the
+substep is VPU/latency-bound around the matmul, so the FLOP halving
+is not a full 2x).  A slot-table predecessor that derived provenance
+in-kernel (bitmap prefix sums, field matmuls, a fix-point pass for
+self references) ran 3x slower; per-byte pack-time resolution
+subsumed all of it.  The ring is a kernel input/output, so multi-part
+and cross-device continuation chain naturally (reference analog:
+retained history across Update calls, lz4ada.adb:678-680).
 """
 
 from __future__ import annotations
@@ -198,18 +203,46 @@ def _make_kernel(n_sub: int):
         page = jnp.where(is_ring == 1, srcpos >> 8, -1)
         base = ((code >> 17) & 255).astype(jnp.float32)
 
+        # Paired routing: bytes b and b+SUB/2 share matmul column b with
+        # page weights {1, 256}.  ring values are <= 255 so the routed
+        # sum ring_a + 256*ring_b <= 65535 is exact in the f32
+        # accumulator, and the two page rows split back out as the low
+        # and mid 8-bit fields.  Halves the MXU FLOPs per byte vs one
+        # column per byte.  When both bytes of a pair want the SAME
+        # page, the 1+256 entry would not be a representable bf16
+        # weight; instead the pair's column keeps only the weight-1
+        # entry and the high byte reads the low field (same page row).
+        half = SUB // 2
+        pa = page[:, :half]
+        pb = page[:, half:]
+        collide = jnp.logical_and(pa == pb, pb >= 0)
+        pb_eff = jnp.where(collide, -2, pb)
+        iota_p = jax.lax.broadcasted_iota(jnp.int32, (PAGES, half), 0)
         ohp = (
-            jax.lax.broadcasted_iota(jnp.int32, (PAGES, SUB), 0) == page
-        ).astype(jnp.bfloat16)
+            (iota_p == pa).astype(jnp.bfloat16)
+            + (iota_p == pb_eff).astype(jnp.bfloat16) * 256
+        )
         yT = jax.lax.dot_general(
             ring[...], ohp, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                             # (ROWB, SUB)
+        )                                             # (ROWB, half)
+        yi = yT.astype(jnp.int32)
+        f0 = yi & 255
+        f1 = jnp.where(collide, f0, yi >> 8)
+        # In-page select in pure int32 (no float casts of the (ROWB,
+        # SUB) intermediates): interleaved A/B on hardware put this 10%
+        # ahead of the f32 multiply-sum and 17% ahead of an MXU
+        # ones-matmul reduction (the tiny matmul stalls the MXU pipe).
+        fields = jnp.concatenate([f0, f1], axis=1)
         qc = srcpos & 255
-        ohq = (
-            jax.lax.broadcasted_iota(jnp.int32, (ROWB, SUB), 0) == qc
-        ).astype(jnp.float32)
-        val = jnp.sum(yT * ohq, axis=0, keepdims=True) + base
+        vali = jnp.sum(
+            jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, (ROWB, SUB), 0) == qc,
+                fields, 0,
+            ),
+            axis=0, keepdims=True,
+        )
+        val = vali.astype(jnp.float32) + base
 
         row = scal_ref[i % 8, 0]
         ring[pl.ds(pl.multiple_of(row, SUB // ROWB), SUB // ROWB), :] = (
