@@ -130,42 +130,50 @@ def pack_dense2(
     mo = np.ascontiguousarray(match_off, np.int32)
 
     use_native = native.available()
-    codes = []
-    scals = []
-    out_spans = []
-    sub_base = 0
-    for c, (lo, hi) in enumerate(chain_ranges):
-        if use_native:
-            code, n_out = native.pack_dense2_chain(
-                buf, ll[lo:hi], ls[lo:hi], ml[lo:hi], mo[lo:hi]
-            )
-        else:
-            code, n_out = _pack_chain(
-                ll[lo:hi], ls[lo:hi], ml[lo:hi], mo[lo:hi], buf
-            )
-        if n_out == 0:
-            out_spans.append((c, sub_base, sub_base, 0))
-            continue
-        n_sub_c = -(-n_out // SUB)
-        pad = n_sub_c * SUB - n_out
-        if pad:
-            code = np.concatenate([code, np.zeros(pad, np.int32)])
-        codes.append(code.reshape(n_sub_c, SUB))
-        scals.append(
-            ((np.arange(n_sub_c, dtype=np.int32) * (SUB // ROWB))
-             & (PAGES - 1)).reshape(-1, 1)
-        )
-        out_spans.append((c, sub_base, sub_base + n_sub_c, n_out))
-        sub_base += n_sub_c
-    if sub_base == 0:
+    # Pre-size every chain so codes pack straight into one padded
+    # (n_sub, SUB) array — no per-chain pad/concat copies.
+    sizes64 = ll.astype(np.int64) + ml
+    chain_outs = [int(sizes64[lo:hi].sum()) for lo, hi in chain_ranges]
+    chain_subs = [-(-n // SUB) if n else 0 for n in chain_outs]
+    total_subs = sum(chain_subs)
+    if total_subs == 0:
         return DensePack2(
             code=np.zeros((0, SUB), np.int32),
             scal=np.zeros((0, 1), np.int32),
-            n_sub=0, out_spans=out_spans,
+            n_sub=0,
+            out_spans=[
+                (c, 0, 0, 0) for c in range(len(chain_ranges))
+            ],
         )
+    flat = np.zeros(total_subs * SUB + 16, np.int32)
+    scal = np.empty((total_subs, 1), np.int32)
+    out_spans = []
+    sub_base = 0
+    for c, (lo, hi) in enumerate(chain_ranges):
+        n_out = chain_outs[c]
+        if n_out == 0:
+            out_spans.append((c, sub_base, sub_base, 0))
+            continue
+        dst = flat[sub_base * SUB:]
+        if use_native:
+            native.pack_dense2_chain(
+                buf, ll[lo:hi], ls[lo:hi], ml[lo:hi], mo[lo:hi], out=dst
+            )
+        else:
+            code, _ = _pack_chain(
+                ll[lo:hi], ls[lo:hi], ml[lo:hi], mo[lo:hi], buf
+            )
+            dst[:n_out] = code
+        n_sub_c = chain_subs[c]
+        scal[sub_base:sub_base + n_sub_c, 0] = (
+            (np.arange(n_sub_c, dtype=np.int32) * (SUB // ROWB))
+            & (PAGES - 1)
+        )
+        out_spans.append((c, sub_base, sub_base + n_sub_c, n_out))
+        sub_base += n_sub_c
     return DensePack2(
-        code=np.concatenate(codes), scal=np.concatenate(scals),
-        n_sub=sub_base, out_spans=out_spans,
+        code=flat[:total_subs * SUB].reshape(total_subs, SUB),
+        scal=scal, n_sub=total_subs, out_spans=out_spans,
     )
 
 

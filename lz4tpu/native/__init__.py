@@ -66,7 +66,8 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     ]
     lib.lz4tpu_scan_sequences.restype = c.c_int64
     lib.lz4tpu_scan_sequences.argtypes = [
-        u8p, c.c_int64, i32p, i32p, i32p, i32p, c.c_int64, i64p,
+        u8p, c.c_int64, c.c_int64, c.c_int64,
+        i32p, i32p, i32p, i32p, i32p, c.c_int64, i64p, i64p,
     ]
     lib.lz4tpu_compress_block.restype = c.c_int64
     lib.lz4tpu_compress_block.argtypes = [
@@ -82,7 +83,7 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     ]
     lib.lz4tpu_pack_dense2.restype = c.c_int64
     lib.lz4tpu_pack_dense2.argtypes = [
-        u8p, i32p, i32p, i32p, i32p, c.c_int64, i32p, c.c_int64,
+        u8p, c.c_int64, i32p, i32p, i32p, i32p, c.c_int64, i32p, c.c_int64,
     ]
     return lib
 
@@ -171,34 +172,45 @@ def decode_block_ring(
     return int(st), int(new_pos.value), int(err_a.value)
 
 
-def scan_sequences(src) -> tuple[int, np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]:
+def scan_sequences(
+    src, lit_base: int = 0, out_base: int = 0
+) -> tuple[int, np.ndarray, np.ndarray, np.ndarray, np.ndarray,
+           np.ndarray, int, int]:
     """Token-scan a raw block into a structure-of-arrays sequence table.
 
-    Returns (status, lit_len, lit_src, match_len, match_off, total_out).
-    Status 0 = OK, otherwise one of the E_* codes.
+    Returns (status, out_start, lit_len, lit_src, match_len, match_off,
+    total_out, min_reach).  Status 0 = OK, otherwise one of the E_*
+    codes.  `lit_base` offsets lit_src (the block's position inside the
+    whole stream); `out_base` offsets out_start (the block's global
+    output position); `min_reach` is the lowest global output position
+    any back-reference touches (2**63-1 when the block has no matches).
     """
     arr = _as_u8(src)
     # Worst case: one sequence per input byte (token-only degenerate) —
     # in valid streams a sequence is >= 2 bytes except the last; +8 slack.
     cap = arr.size + 8
+    out_start = np.empty(cap, dtype=np.int32)
     lit_len = np.empty(cap, dtype=np.int32)
     lit_src = np.empty(cap, dtype=np.int32)
     match_len = np.empty(cap, dtype=np.int32)
     match_off = np.empty(cap, dtype=np.int32)
     total = ctypes.c_int64(0)
+    reach = ctypes.c_int64(0)
     i32p = ctypes.POINTER(ctypes.c_int32)
     n = _get().lz4tpu_scan_sequences(
-        _u8ptr(arr), arr.size,
+        _u8ptr(arr), arr.size, lit_base, out_base,
+        out_start.ctypes.data_as(i32p),
         lit_len.ctypes.data_as(i32p), lit_src.ctypes.data_as(i32p),
         match_len.ctypes.data_as(i32p), match_off.ctypes.data_as(i32p),
-        cap, ctypes.byref(total),
+        cap, ctypes.byref(total), ctypes.byref(reach),
     )
     if n < 0:
-        return int(-n), lit_len[:0], lit_src[:0], match_len[:0], match_off[:0], 0
+        z = lit_len[:0]
+        return int(-n), z, z, z, z, z, 0, 0
     return (
         OK,
-        lit_len[:n], lit_src[:n], match_len[:n], match_off[:n],
-        int(total.value),
+        out_start[:n], lit_len[:n], lit_src[:n], match_len[:n],
+        match_off[:n], int(total.value), int(reach.value),
     )
 
 
@@ -208,19 +220,29 @@ def pack_dense2_chain(
     lit_src: np.ndarray,
     match_len: np.ndarray,
     match_off: np.ndarray,
+    out: np.ndarray | None = None,
 ) -> tuple[np.ndarray, int]:
     """Per-byte provenance codes for one chain (device/mxu2.py pack).
 
     Returns (code int32 [n_out], n_out); bit-identical to the numpy
-    resolver in mxu2._pack_chain (asserted by tests).
+    resolver in mxu2._pack_chain (asserted by tests).  When `out` is
+    given, codes are written in place into it (it must be contiguous
+    int32 with >= n_out + 16 elements; the resolver wild-writes up to
+    16 words past n_out and re-zeroes them) and the returned array is
+    a view of out.
     """
     c = ctypes
     i32p = c.POINTER(c.c_int32)
     n_out = int(lit_len.astype(np.int64).sum()
                 + match_len.astype(np.int64).sum())
-    code = np.empty(max(n_out, 1), np.int32)
+    if out is None:
+        code = np.zeros(n_out + 16, np.int32)
+    else:
+        code = out
+        if code.size < n_out + 16:
+            raise ValueError("pack_dense2 out buffer too small")
     n = _get().lz4tpu_pack_dense2(
-        _u8ptr(buf),
+        _u8ptr(buf), buf.size,
         lit_len.ctypes.data_as(i32p), lit_src.ctypes.data_as(i32p),
         match_len.ctypes.data_as(i32p), match_off.ctypes.data_as(i32p),
         lit_len.size, code.ctypes.data_as(i32p), code.size,

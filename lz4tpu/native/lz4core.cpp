@@ -354,20 +354,29 @@ int32_t lz4tpu_decode_block_ring(
 
 // Scans one raw block and appends sequences as structure-of-arrays.
 // For sequence s:
+//   out_start[s] global output position of the sequence (out_base +
+//                bytes decoded so far in this block)
 //   lit_len[s]   number of literal bytes
-//   lit_src[s]   offset of those literals inside `src`
+//   lit_src[s]   offset of those literals: position inside `src` plus
+//                `lit_base` (the block's offset in the whole stream)
 //   match_len[s] match length (0 for a trailing literal-only sequence)
 //   match_off[s] back-reference distance (undefined when match_len == 0)
 // Returns the number of sequences, or -status on malformed input.
-// *total_out accumulates the decoded size of the block.
+// *total_out accumulates the decoded size of the block; *min_reach the
+// lowest global position any back-reference touches (INT64_MAX when
+// the block has no matches) — callers compare it against the frame
+// start (reference H_Offset < 0 check, lz4ada.adb:867-874) and the
+// block start (B.Indep demotion).
 int64_t lz4tpu_scan_sequences(
     const uint8_t* src, int64_t src_len,
-    int32_t* lit_len, int32_t* lit_src,
+    int64_t lit_base, int64_t out_base,
+    int32_t* out_start, int32_t* lit_len, int32_t* lit_src,
     int32_t* match_len, int32_t* match_off,
-    int64_t cap, int64_t* total_out) {
+    int64_t cap, int64_t* total_out, int64_t* min_reach) {
     int64_t ip = 0;
     int64_t s = 0;
-    int64_t out = 0;
+    int64_t out = out_base;
+    int64_t reach = INT64_C(0x7FFFFFFFFFFFFFFF);
     while (ip < src_len) {
         if (s >= cap) return -LZ4TPU_E_SEQ_OVERFLOW;
         const uint8_t token = src[ip++];
@@ -376,8 +385,9 @@ int64_t lz4tpu_scan_sequences(
         if (ip + lit > src_len)
             return (token & 0x0F) ? -LZ4TPU_E_MATCH_AFTER_LIT
                                   : -LZ4TPU_E_TRUNCATED;
+        out_start[s] = (int32_t)out;
         lit_len[s] = (int32_t)lit;
-        lit_src[s] = (int32_t)ip;
+        lit_src[s] = (int32_t)(ip + lit_base);
         ip += lit;
         out += lit;
         if (ip >= src_len) {
@@ -394,12 +404,14 @@ int64_t lz4tpu_scan_sequences(
         int64_t mlen = var_length(src, src_len, &ip, token & 0x0F);
         if (mlen < 0) return -LZ4TPU_E_TRUNCATED;
         mlen += 4;
+        if (out - offset < reach) reach = out - offset;
         match_len[s] = (int32_t)mlen;
         match_off[s] = (int32_t)offset;
         out += mlen;
         ++s;
     }
-    *total_out = out;
+    *total_out = out - out_base;
+    *min_reach = reach;
     return s;
 }
 
@@ -936,27 +948,106 @@ int64_t lz4tpu_compress_block_opt(
 // for s in the same 2 KiB substep is already final, so inheritance is
 // one copy — the per-byte generalization of the reference's
 // overlapping-match replay (lib/lz4ada.adb:893-903).
+// Branch-minimal run-level resolver. Two dominant fast paths (measured
+// on text streams: ~0.7 literal + ~4.4 match bytes per sequence, match
+// offsets usually > 2048):
+//   * literals <= 8: one 8-byte load expanded to eight code words
+//     unconditionally (wild write; `cap` includes +16 slack)
+//   * off >= 2048: within any substep j - sub_base < 2048 <= off, so
+//     the whole match is a ring reference — an affine fill of
+//     consecutive mod-64Ki positions (8-wide wild for short matches)
+// Everything else (long literals, 64 Ki wrap, off < 2048) falls to a
+// segmented path that splits at substep boundaries: a ring fill while
+// s < sub_base, then an intra-substep inherit — an overlap-replicating
+// copy of already-final codes with period `off` (doubling windows like
+// the reference's replay, lib/lz4ada.adb:893-903).
 int64_t lz4tpu_pack_dense2(
-    const uint8_t* buf,
+    const uint8_t* buf, int64_t buf_len,
     const int32_t* ll, const int32_t* ls,
     const int32_t* ml, const int32_t* mo,
     int64_t n_seqs, int32_t* code, int64_t cap) {
     int64_t j = 0;
+    const int64_t lit_wild_lim = buf_len - 8;
     for (int64_t i = 0; i < n_seqs; ++i) {
-        int64_t l = ll[i], m = ml[i];
-        if (j + l + m > cap) return -1;
+        const int64_t l = ll[i];
+        const int64_t m = ml[i];
+        if (j + l + m + 16 > cap) return -1;
         const uint8_t* lp = buf + ls[i];
-        for (int64_t k = 0; k < l; ++k, ++j)
-            code[j] = ((int32_t)lp[k]) << 17;
-        int64_t off = mo[i] >= 1 ? mo[i] : 1;
-        if (m > 0 && j - off < 0) return -2;  // backref before chain
-        for (int64_t k = 0; k < m; ++k, ++j) {
-            int64_t s = j - off;
-            if (s >= (j & ~(int64_t)2047))
-                code[j] = code[s];
-            else
-                code[j] = (int32_t)(s & 0xFFFF) | 0x10000;
+        if (l <= 8 && ls[i] <= lit_wild_lim) {
+            const uint64_t w = read64(lp);
+            for (int64_t k = 0; k < 8; ++k)
+                code[j + k] = (int32_t)((w >> (8 * k)) & 255) << 17;
+        } else {
+            for (int64_t k = 0; k < l; ++k)
+                code[j + k] = ((int32_t)lp[k]) << 17;
         }
+        j += l;
+        if (m == 0) continue;
+        const int64_t off = mo[i] >= 1 ? mo[i] : 1;
+        const int64_t s0 = j - off;
+        if (s0 < 0) return -2;  // backref before chain
+        const int64_t q = s0 & 0xFFFF;
+        if (off >= 2048 && q + m <= 65536) {
+            const int32_t v = (int32_t)q | 0x10000;
+            if (m <= 8) {
+                for (int64_t k = 0; k < 8; ++k)
+                    code[j + k] = v + (int32_t)k;
+            } else {
+                for (int64_t k = 0; k < m; ++k)
+                    code[j + k] = v + (int32_t)k;
+            }
+            j += m;
+            continue;
+        }
+        if (off >= 2048) {  // ring fill that wraps 64 Ki
+            const int32_t v = (int32_t)q | 0x10000;
+            const int64_t first = 65536 - q;
+            for (int64_t k = 0; k < first; ++k)
+                code[j + k] = v + (int32_t)k;
+            for (int64_t k = first; k < m; ++k)
+                code[j + k] = (int32_t)(k - first) | 0x10000;
+            j += m;
+            continue;
+        }
+        const int64_t jend = j + m;
+        while (j < jend) {
+            const int64_t sub_base = j & ~(int64_t)2047;
+            int64_t seg_end = sub_base + 2048;
+            if (seg_end > jend) seg_end = jend;
+            int64_t a_end = sub_base + off;  // while s < sub_base
+            if (a_end > seg_end) a_end = seg_end;
+            if (j < a_end) {
+                // off < 2048 never wraps the 64 Ki ring inside one run
+                const int32_t v = (int32_t)((j - off) & 0xFFFF) | 0x10000;
+                const int64_t run = a_end - j;
+                for (int64_t k = 0; k < run; ++k)
+                    code[j + k] = v + (int32_t)k;
+                j = a_end;
+            }
+            if (j < seg_end) {
+                const int64_t run = seg_end - j;
+                if (off == 1) {
+                    const int32_t v = code[j - 1];
+                    for (int64_t k = 0; k < run; ++k) code[j + k] = v;
+                } else {
+                    int64_t k = 0, w = off;
+                    while (k < run) {
+                        int64_t chunk = w < run - k ? w : run - k;
+                        std::memcpy(code + j + k, code + j + k - w,
+                                    (size_t)chunk * sizeof(int32_t));
+                        k += chunk;
+                        if (w < (int64_t)1 << 30) w <<= 1;
+                    }
+                }
+                j = seg_end;
+            }
+        }
+    }
+    // Wild writes may have scribbled up to 16 codes past the end; the
+    // caller packs into pre-zeroed padded storage, so restore zeros.
+    if (j < cap) {
+        const int64_t z = (cap - j < 16) ? cap - j : 16;
+        std::memset(code + j, 0, (size_t)z * sizeof(int32_t));
     }
     return j;
 }

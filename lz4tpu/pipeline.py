@@ -159,38 +159,24 @@ def build_seq_table(
                 span.out_hi = n_out
                 spans.append(span)
                 continue
-            status, ll, ls, ml, mo, total = native.scan_sequences(payload)
+            status, starts, ll, ls, ml, mo, total, min_reach = (
+                native.scan_sequences(payload, blk.comp_off, n_out)
+            )
             if status != native.OK:
                 _oracle_rerun(data, reservation)
                 raise DataCorruption("Malformed block payload.")
-            sizes = ll.astype(np.int64) + ml
-            starts = n_out + np.concatenate(
-                [np.zeros(1, np.int64), np.cumsum(sizes[:-1])]
-            )
             # Back-reference range check: a match may not reach before
             # the start of its frame (equivalent to the reference's
             # H_Offset < 0 check, lz4ada.adb:867-874).
-            mstart = starts + ll
-            bad = (ml > 0) & (mstart - mo < frame_start_out)
-            if bad.any():
+            if min_reach < frame_start_out:
                 _oracle_rerun(data, reservation)
                 raise DataCorruption("Back-reference out of range.")
             if frame.block_independence and not frame_crosses:
                 # The reference ignores the B.Indep flag and always
                 # keeps history (SURVEY.md §2); tolerate streams whose
                 # flag lies by demoting the frame to linked chains.
-                frame_crosses = bool(
-                    ((ml > 0) & (mstart - mo < span.out_lo)).any()
-                )
-            chunks.append(
-                (
-                    starts.astype(np.int32),
-                    ll,
-                    ls + np.int32(blk.comp_off),
-                    ml,
-                    mo,
-                )
-            )
+                frame_crosses = min_reach < span.out_lo
+            chunks.append((starts, ll, ls, ml, mo))
             n_out += total
             n_seq += ll.size
             span.seq_hi = n_seq
