@@ -45,6 +45,13 @@ def decompress_to_device(data, reservation=FOR_ALL, **kw):
 
     return _impl(data, reservation, **kw)
 
+
+def DecodeSession(*a, **kw):
+    """Pipelined decode service (see lz4tpu.serve.DecodeSession)."""
+    from .serve import DecodeSession as _cls
+
+    return _cls(*a, **kw)
+
 __version__ = "0.1.0"
 
 __all__ = [
@@ -56,6 +63,7 @@ __all__ = [
     "decompress",
     "decompress_host",
     "decompress_to_device",
+    "DecodeSession",
     "Reservation",
     "EndOfFrame",
     "FOR_ALL",

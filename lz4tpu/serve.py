@@ -1,0 +1,218 @@
+"""Pipelined decode service: overlap host preprocessing with device
+execution.
+
+A decode request passes through two stages with very different
+resources:
+
+  host   frame parse -> native token scan -> provenance pack
+         (lz4tpu/native, single-core C++; ~msec per request)
+  device sparse XLA programs / dense MXU routing kernel
+         (lz4tpu/device; async-dispatched, runs on the TPU)
+
+The reference is a synchronous pull parser — one `Update` call does
+both jobs on one core (lib/lz4ada.adb:383-418).  On TPU the idiomatic
+shape is a two-stage pipeline: JAX dispatch is asynchronous, so as soon
+as request N's kernels are enqueued the host core is free to parse and
+pack request N+1 while the TPU chews on N.  ``DecodeSession`` packages
+that: a background thread runs the host stage and enqueues device work;
+callers collect results in submission order.
+
+Host-stage packing is substep-parallel by construction — ring codes
+never read other codes and inherit codes only read within their own
+2 KiB substep (see native lz4tpu_pack_dense2) — so on multi-core hosts
+the prep thread can be sharded further; this box exposes one core, so
+the session keeps a single prep thread.
+
+Usage::
+
+    with DecodeSession() as s:
+        tickets = [s.submit(blob) for blob in blobs]
+        outputs = [t.result() for t in tickets]
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+
+from .constants import Reservation, FOR_ALL
+from .errors import Lz4Error
+from . import pipeline as pl
+
+
+class DecodeTicket:
+    """Handle for one submitted buffer; ``result()`` blocks until the
+    decoded bytes are ready (or re-raises the decode error with
+    reference-parity diagnostics)."""
+
+    def __init__(self, session: "DecodeSession"):
+        self._session = session
+        self._done = threading.Event()
+        self._error: BaseException | None = None
+        # set by the prep thread on success:
+        self._buf: np.ndarray | None = None
+        self._parsed = None
+        self._table = None
+        self._segs: list | None = None   # [(out_lo, device array)]
+        self._out_np: bytes | None = None
+
+    # -- prep-thread side -------------------------------------------------
+    def _fail(self, exc: BaseException) -> None:
+        self._error = exc
+        self._done.set()
+
+    def _finish(self, buf, parsed, table, segs) -> None:
+        self._buf = buf
+        self._parsed = parsed
+        self._table = table
+        self._segs = segs
+        self._done.set()
+
+    # -- caller side --------------------------------------------------------
+    def result(self, timeout: float | None = None) -> bytes:
+        if not self._done.wait(timeout):
+            raise TimeoutError("decode not finished")
+        if self._error is not None:
+            raise self._error
+        if self._out_np is None:
+            import jax
+
+            if self._table is None:        # empty input fast path
+                self._out_np = b""
+            else:
+                out = bytearray(self._table.n_out)
+                for lo, arr in self._segs:
+                    seg = np.asarray(jax.device_get(arr))
+                    out[lo:lo + seg.size] = seg.tobytes()
+                out = bytes(out)
+                self._session._verify(self._buf, self._parsed, out,
+                                      self._table)
+                self._out_np = out
+            # release device/host references
+            self._segs = None
+            self._buf = None
+        return self._out_np
+
+
+class DecodeSession:
+    """Two-stage pipelined decoder (host prep thread + async device
+    dispatch).  Results come back in submission order via tickets.
+
+    max_inflight bounds the number of requests whose device work may be
+    enqueued but uncollected (bounds HBM held by pending outputs).
+    """
+
+    def __init__(self, reservation: Reservation = FOR_ALL,
+                 max_inflight: int = 4, interpret: bool = False):
+        self.reservation = Reservation(reservation)
+        self.interpret = interpret
+        self._q: "queue.Queue" = queue.Queue(maxsize=max(1, max_inflight))
+        self._closed = False
+        self._thread = threading.Thread(
+            target=self._prep_loop, name="lz4tpu-prep", daemon=True
+        )
+        self._thread.start()
+
+    # -- submission ---------------------------------------------------------
+    def submit(self, data) -> DecodeTicket:
+        if self._closed:
+            raise RuntimeError("session closed")
+        t = DecodeTicket(self)
+        self._q.put((t, bytes(data)))
+        return t
+
+    def decode_all(self, blobs) -> list[bytes]:
+        tickets = [self.submit(b) for b in blobs]
+        return [t.result() for t in tickets]
+
+    def close(self) -> None:
+        if not self._closed:
+            self._closed = True
+            self._q.put(None)
+            self._thread.join()
+
+    def __enter__(self) -> "DecodeSession":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    # -- prep thread ----------------------------------------------------------
+    def _prep_loop(self) -> None:
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            ticket, data = item
+            try:
+                self._prep_one(ticket, data)
+            except BaseException as e:          # noqa: BLE001
+                ticket._fail(e)
+
+    def _prep_one(self, ticket: DecodeTicket, data: bytes) -> None:
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        from .device import mxu2 as mx
+        from .device import sparse_decode as sp
+
+        buf = np.frombuffer(data, dtype=np.uint8)
+        if buf.size == 0:
+            ticket._finish(buf, None, None, [])
+            return
+        parsed = pl.parse_frames(buf, self.reservation)
+        table = pl.build_seq_table(buf, parsed, self.reservation, data)
+        if table.n_out == 0:
+            ticket._finish(buf, parsed, table, [])
+            return
+        plan = pl.plan_decode(buf, parsed, table)
+        if (plan.dense_pack is not None and not self.interpret
+                and jax.devices()[0].platform == "cpu"):
+            plan = dataclasses.replace(
+                plan, other=plan.other + plan.dense_chains,
+                dense_chains=[], dense_pack=None,
+            )
+
+        # Enqueue device work; jax dispatch is async, so these return
+        # immediately and the TPU overlaps the next request's prep.
+        segs: list = []
+        if plan.sparse:
+            comp_dev = jnp.asarray(buf)
+            for chain, prog in plan.sparse:
+                n_c = chain.out_hi - chain.out_lo
+                segs.append(
+                    (chain.out_lo, sp.decode_sparse_device(prog, comp_dev)[:n_c])
+                )
+        if plan.dense_pack is not None:
+            pk = plan.dense_pack
+            rows, _ring = mx._decode_dense2_device(
+                jnp.asarray(pk.code), jnp.asarray(pk.scal),
+                n_sub=pk.n_sub, interpret=self.interpret,
+            )
+            flat = rows.reshape(-1)
+            for chain, (_c, slo, _shi, out_len) in zip(
+                plan.dense_chains, pk.out_spans
+            ):
+                segs.append(
+                    (chain.out_lo,
+                     jax.lax.dynamic_slice(flat, (slo * mx.SUB,), (out_len,)))
+                )
+        for chain in plan.other:
+            segs.append(
+                (chain.out_lo, jnp.asarray(pl._resolve_chain(buf, table, chain)))
+            )
+        ticket._finish(buf, parsed, table, segs)
+
+    # -- result-side checksum verification --------------------------------
+    @staticmethod
+    def _verify(buf, parsed, out: bytes, table) -> None:
+        pl._verify_checksums(
+            buf, parsed, np.frombuffer(out, np.uint8), table
+        )
+
+
+__all__ = ["DecodeSession", "DecodeTicket", "Lz4Error"]

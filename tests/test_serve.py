@@ -1,0 +1,110 @@
+"""Pipelined decode session (lz4tpu/serve.py).
+
+Reference analog: the synchronous pull loop of tool_unlz4ada
+(unlz4ada.adb:25-61) — here the host stage and device stage overlap,
+and these tests pin ordering, correctness, and error propagation of
+that pipeline.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import lz4tpu
+from lz4tpu.serve import DecodeSession
+from lz4tpu import errors
+
+
+def _vec(vectors_dir, name):
+    data = (vectors_dir / f"{name}.lz4").read_bytes()
+    bin_path = vectors_dir / f"{name}.bin"
+    if bin_path.exists():
+        ref = bin_path.read_bytes()
+    else:  # z9m ground truth is absent upstream
+        ref = b"\x00" * 9437166
+    return data, ref
+
+
+class TestSessionRoundTrip:
+    def test_vectors_through_session(self, vectors_dir):
+        names = ["t100k", "z100", "concat390", "skipz100",
+                 "z101legacyplus", "emptycraft", "empty"]
+        blobs, refs = [], []
+        for n in names:
+            d, r = _vec(vectors_dir, n)
+            blobs.append(d)
+            refs.append(r)
+        with DecodeSession() as s:
+            outs = s.decode_all(blobs)
+        assert [len(o) for o in outs] == [len(r) for r in refs]
+        for n, o, r in zip(names, outs, refs):
+            assert o == r, n
+
+    def test_compressed_roundtrips_interleaved_sizes(self):
+        rng = np.random.default_rng(17)
+        payloads = []
+        for k in range(12):
+            n = int(rng.integers(0, 50000))
+            if k % 3 == 0:
+                p = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+            elif k % 3 == 1:
+                p = (b"the quick brown fox %d " % k) * (n // 20 + 1)
+            else:
+                p = b"\x00" * n
+            payloads.append(p)
+        blobs = [lz4tpu.compress(p) for p in payloads]
+        with DecodeSession() as s:
+            tickets = [s.submit(b) for b in blobs]
+            # collect out of submission order: results must still match
+            for i in reversed(range(len(tickets))):
+                assert tickets[i].result() == payloads[i], i
+
+    def test_result_is_idempotent(self, vectors_dir):
+        d, r = _vec(vectors_dir, "t2")
+        with DecodeSession() as s:
+            t = s.submit(d)
+            assert t.result() == r
+            assert t.result() == r
+
+    def test_session_survives_many_submissions(self, vectors_dir):
+        d, r = _vec(vectors_dir, "z1k")
+        with DecodeSession(max_inflight=2) as s:
+            tickets = [s.submit(d) for _ in range(25)]
+            for t in tickets:
+                assert t.result() == r
+
+
+class TestSessionErrors:
+    def test_error_propagates_with_parity_message(self, vectors_dir):
+        bad = (vectors_dir / "corruptedblockchcksm.err").read_bytes()
+        expected = (
+            (vectors_dir / "corruptedblockchcksm.eds")
+            .read_text().splitlines()[0]
+        )
+        with DecodeSession() as s:
+            t = s.submit(bad)
+            with pytest.raises(errors.Lz4Error) as ei:
+                t.result()
+        assert ei.value.ada_image() == expected
+
+    def test_error_does_not_poison_session(self, vectors_dir):
+        bad = (vectors_dir / "corruptedmagic.err").read_bytes()
+        good, ref = _vec(vectors_dir, "t389")
+        with DecodeSession() as s:
+            t_bad = s.submit(bad)
+            t_good = s.submit(good)
+            with pytest.raises(errors.Lz4Error):
+                t_bad.result()
+            assert t_good.result() == ref
+
+    def test_submit_after_close_raises(self):
+        s = DecodeSession()
+        s.close()
+        s.close()  # idempotent
+        with pytest.raises(RuntimeError):
+            s.submit(b"")
+
+    def test_empty_input(self):
+        with DecodeSession() as s:
+            assert s.submit(b"").result() == b""
