@@ -142,15 +142,23 @@ def main() -> int:
         return time.time() - t0
 
     sync(decode_corpus(comp_dev, code_d, scal_d))
-    run(2)
-    # median of three slope estimates: each sync carries ~30 ms of
+    # Sustained warm-up (~2 s): the tunnel chip's effective clock can
+    # sit in a degraded state between bursts; spin until the per-rep
+    # time stops improving so the slopes below measure steady state.
+    t_prev = run(REPS)
+    for _ in range(10):
+        t_now = run(REPS)
+        if t_now >= t_prev * 0.97:
+            break
+        t_prev = t_now
+    # median of five slope estimates: each sync carries ~30 ms of
     # tunnel jitter, so a single slope wobbles by ~10%
     slopes = []
-    for _ in range(3):
+    for _ in range(5):
         t_small = run(REPS)
         t_big = run(4 * REPS)
         slopes.append((t_big - t_small) / (3 * REPS))
-    elapsed = sorted(slopes)[1]
+    elapsed = sorted(slopes)[2]
 
     gbps = total_bytes / elapsed / 1e9
     print(
