@@ -215,7 +215,16 @@ def cmd_bench(args) -> int:
         except OSError as exc:
             print(f"lz4-bench: {exc}", file=sys.stderr)
             return 1
-        if args.backend == "sharded":
+        if args.backend == "pipeline":
+            from .serve import DecodeSession
+
+            with DecodeSession() as s:
+                out = s.submit(data).result()  # warm jit caches
+                t0 = time.time()
+                for _ in range(args.reps):
+                    out = s.decode_all([data] * 4)[-1]
+                dt = (time.time() - t0) / (args.reps * 4)
+        elif args.backend == "sharded":
             from .dist import decompress_sharded, make_mesh
 
             mesh = make_mesh()
@@ -293,7 +302,8 @@ def main(argv=None) -> int:
     pb = sub.add_parser("lz4-bench")
     pb.add_argument("files", nargs="+")
     pb.add_argument("--backend", default="host",
-                    choices=["host", "device", "auto", "sharded"])
+                    choices=["host", "device", "auto", "sharded",
+                             "pipeline"])
     pb.add_argument("--reps", type=int, default=3)
     pb.add_argument("--stats", action="store_true",
                     help="print DecodeStats counters (device/auto backends)")
