@@ -97,6 +97,33 @@ def _lane_state(nstripes, words, *, grid: int, interpret: bool):
     )(nstripes, words)
 
 
+def _finalize(state: np.ndarray, n: int, tail: bytes) -> int:
+    """Fold the 4-lane state + <16-byte tail into the digest (host;
+    constant work — reference: lz4ada.adb:993-1017)."""
+    s0, s1, s2, s3 = (int(x) & 0xFFFFFFFF for x in state)
+
+    def rotl(v, r):
+        return ((v << r) | (v >> (32 - r))) & 0xFFFFFFFF
+
+    h = (rotl(s0, 1) + rotl(s1, 7) + rotl(s2, 12) + rotl(s3, 18)) & 0xFFFFFFFF
+    h = (h + n) & 0xFFFFFFFF
+    i = 0
+    P3, P4, P5 = 3266489917, 668265263, 374761393
+    while i + 4 <= len(tail):
+        w = int.from_bytes(tail[i:i + 4], "little")
+        h = (rotl((h + w * P3) & 0xFFFFFFFF, 17) * P4) & 0xFFFFFFFF
+        i += 4
+    while i < len(tail):
+        h = (rotl((h + tail[i] * P5) & 0xFFFFFFFF, 11) * P1) & 0xFFFFFFFF
+        i += 1
+    h ^= h >> 15
+    h = (h * P2) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 3266489917) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
 def xxh32_device(data: np.ndarray, interpret: bool = False) -> int:
     """xxh32(seed=0) of a byte buffer with the stripe loop on device.
 
@@ -118,26 +145,49 @@ def xxh32_device(data: np.ndarray, interpret: bool = False) -> int:
         grid=words.size // _WORDS_PER_STEP,
         interpret=interpret,
     )
-    s0, s1, s2, s3 = (int(x) & 0xFFFFFFFF for x in np.asarray(jax.device_get(state)))
+    return _finalize(
+        np.asarray(jax.device_get(state)), n, data[n_stripes * 16:].tobytes()
+    )
 
-    def rotl(v, r):
-        return ((v << r) | (v >> (32 - r))) & 0xFFFFFFFF
 
-    h = (rotl(s0, 1) + rotl(s1, 7) + rotl(s2, 12) + rotl(s3, 18)) & 0xFFFFFFFF
-    h = (h + n) & 0xFFFFFFFF
-    tail = data[n_stripes * 16:]
-    i = 0
-    P3, P4, P5 = 3266489917, 668265263, 374761393
-    while i + 4 <= tail.size:
-        w = int.from_bytes(tail[i:i + 4].tobytes(), "little")
-        h = (rotl((h + w * P3) & 0xFFFFFFFF, 17) * P4) & 0xFFFFFFFF
-        i += 4
-    while i < tail.size:
-        h = (rotl((h + int(tail[i]) * P5) & 0xFFFFFFFF, 11) * P1) & 0xFFFFFFFF
-        i += 1
-    h ^= h >> 15
-    h = (h * P2) & 0xFFFFFFFF
-    h ^= h >> 13
-    h = (h * 3266489917) & 0xFFFFFFFF
-    h ^= h >> 16
-    return h
+@functools.partial(jax.jit, static_argnames=("lo", "n", "interpret"))
+def _device_lane_state_of(arr, *, lo: int, n: int, interpret: bool):
+    """Lane state of arr[lo:lo+n] for an HBM-resident uint8 array:
+    byte->word conversion and stripe accumulation all on device."""
+    n_stripes = n // 16
+    body = jax.lax.dynamic_slice(arr, (lo,), (n_stripes * 16,))
+    b = body.reshape(n_stripes * 4, 4).astype(jnp.int32)
+    words = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16) | (b[:, 3] << 24)
+    pad = (-words.size) % _WORDS_PER_STEP
+    if pad:
+        words = jnp.concatenate([words, jnp.zeros(pad, jnp.int32)])
+    return _lane_state(
+        jnp.full((1,), n_stripes, jnp.int32),
+        words,
+        grid=words.size // _WORDS_PER_STEP,
+        interpret=interpret,
+    )
+
+
+def xxh32_of_device_array(arr, lo: int, hi: int,
+                          interpret: bool = False) -> int:
+    """xxh32(seed=0) of arr[lo:hi] where arr is a device-resident uint8
+    jax.Array — the content-checksum path for HBM-resident decode
+    output (``decompress_to_device(verify="device")``).  Only the
+    16-byte lane state and the <16-byte stripe tail cross the
+    host<->device link; the decoded bytes never leave HBM.
+    """
+    import jax as _jax
+
+    n = hi - lo
+    n_stripes = n // 16
+    tail_lo = lo + n_stripes * 16
+    tail = np.asarray(
+        _jax.device_get(
+            _jax.lax.dynamic_slice(arr, (tail_lo,), (n - n_stripes * 16,))
+        )
+    ).tobytes() if n % 16 else b""
+    if n_stripes == 0:
+        return XXHash32().update(tail).final()
+    state = _device_lane_state_of(arr, lo=lo, n=n, interpret=interpret)
+    return _finalize(np.asarray(_jax.device_get(state)), n, tail)

@@ -235,6 +235,33 @@ def _verify_checksums(
                 raise err_content_checksum(computed, frame.content_checksum)
 
 
+def _verify_checksums_device(
+    buf: np.ndarray, parsed: ParseResult, out_dev, table: SeqTable,
+    interpret: bool = False,
+) -> None:
+    """Checksum verification for HBM-resident output: block checksums
+    cover the (host-resident) compressed bytes and run on the native
+    engine; content checksums cover decoded output and run as the
+    Pallas stripe kernel over the device array — only lane states and
+    stripe tails cross the host<->device link."""
+    from . import native
+    from .device.xxh32_pallas import xxh32_of_device_array
+
+    for frame in parsed.frames:
+        for blk in frame.blocks:
+            if blk.checksum is not None:
+                payload = buf[blk.comp_off:blk.comp_off + blk.comp_len]
+                computed = native.native_xxh32(payload)
+                if computed != blk.checksum:
+                    raise err_block_checksum(blk.checksum, computed)
+        if frame.content_checksum is not None:
+            lo = int(table.frame_out_start[frame.frame_id])
+            hi = int(table.frame_out_start[frame.frame_id + 1])
+            computed = xxh32_of_device_array(out_dev, lo, hi, interpret)
+            if computed != frame.content_checksum:
+                raise err_content_checksum(computed, frame.content_checksum)
+
+
 def _chains_of(table: SeqTable) -> list[BlockSpan]:
     """Group block spans into decode chains: independent blocks stand
     alone; linked blocks of a frame merge into one sequential chain."""
@@ -487,8 +514,13 @@ def decompress_to_device(
 
     verify: "host" fetches a copy to verify block/content checksums
     with reference-parity errors (the returned array itself stays on
-    device); "none" skips checksum verification (frame structure and
-    sequence grammar are still fully validated host-side).
+    device); "device" verifies content checksums with the Pallas xxh32
+    stripe kernel over the HBM-resident output — decoded bytes never
+    cross the link, only 16-byte lane states and <16-byte tails (block
+    checksums cover the compressed input, which is host-resident, and
+    use the native engine either way); "none" skips checksum
+    verification (frame structure and sequence grammar are still fully
+    validated host-side).
     """
     import jax
     import jax.numpy as jnp
@@ -550,6 +582,11 @@ def decompress_to_device(
     if verify == "host":
         out_np = np.asarray(jax.device_get(out_dev))
         _verify_checksums(buf, parsed, out_np, table)
+    elif verify == "device":
+        _verify_checksums_device(
+            buf, parsed, out_dev, table,
+            interpret or jax.devices()[0].platform == "cpu",
+        )
     return out_dev
 
 

@@ -96,3 +96,30 @@ def test_decompress_to_device(vectors_dir):
     out = lz4tpu.decompress_to_device(bytes(bad), interpret=True,
                                       verify="none")
     assert out.shape[0] == 102400
+
+
+def test_decompress_to_device_verify_device(vectors_dir):
+    """verify="device": content checksums computed by the Pallas xxh32
+    stripe kernel over the HBM-resident output; decoded bytes never
+    fetched.  Same acceptance and same reference-parity rejection as
+    the host verifier."""
+    import jax
+
+    import lz4tpu
+
+    for name in ("t100k", "concat390", "z2841", "z1", "emptycraft"):
+        data = (vectors_dir / f"{name}.lz4").read_bytes()
+        ref = (vectors_dir / f"{name}.bin").read_bytes()
+        out = lz4tpu.decompress_to_device(data, interpret=True,
+                                          verify="device")
+        assert bytes(jax.device_get(out).tobytes()) == ref
+    # corrupted content checksum raises the same parity error
+    bad = bytearray((vectors_dir / "t100k.lz4").read_bytes())
+    bad[-1] ^= 0xFF
+    with pytest.raises(Lz4Error) as ei_dev:
+        lz4tpu.decompress_to_device(bytes(bad), interpret=True,
+                                    verify="device")
+    with pytest.raises(Lz4Error) as ei_host:
+        lz4tpu.decompress_to_device(bytes(bad), interpret=True,
+                                    verify="host")
+    assert ei_dev.value.ada_image() == ei_host.value.ada_image()
