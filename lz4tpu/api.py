@@ -220,6 +220,12 @@ def compress(
     if backend == "device":
         from .device.encode import compress_block_device
 
+    # Search effort per level (lz4-CLI-like): 1-3 shallow chains and no
+    # lazy deferral (speed), 4-9 the full lazy hash chain, >=10 the
+    # exact optimal parse.
+    eff_chain = min(max_chain, 8) if level <= 3 else max_chain
+    eff_lazy = level >= 4
+
     if frame_format == "legacy":
         from .constants import MAGIC_LEGACY
 
@@ -229,8 +235,8 @@ def compress(
         while pos < len(data):
             chunk = data[pos:pos + block_max]
             # legacy blocks are always compressed and independent
-            comp = compress_block(chunk, max_chain=max_chain,
-                                  optimal=level >= 10)
+            comp = compress_block(chunk, max_chain=eff_chain,
+                                  optimal=level >= 10, lazy=eff_lazy)
             out += struct.pack("<I", len(comp))
             out += comp
             pos += len(chunk)
@@ -255,7 +261,8 @@ def compress(
             comp = compress_block_device(chunk, hist=hist)
         else:
             comp = compress_block(
-                chunk, hist=hist, max_chain=max_chain, optimal=level >= 10
+                chunk, hist=hist, max_chain=eff_chain,
+                optimal=level >= 10, lazy=eff_lazy,
             )
         if comp and len(comp) < len(chunk):
             out += struct.pack("<I", len(comp))

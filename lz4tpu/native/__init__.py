@@ -72,6 +72,7 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.lz4tpu_compress_block.restype = c.c_int64
     lib.lz4tpu_compress_block.argtypes = [
         u8p, c.c_int64, u8p, c.c_int64, u8p, c.c_int64, c.c_int32,
+        c.c_int32,
     ]
     lib.lz4tpu_compress_block_opt.restype = c.c_int64
     lib.lz4tpu_compress_block_opt.argtypes = [
@@ -272,10 +273,13 @@ def compress_block_cands(
 
 
 def compress_block(
-    src, hist: bytes = b"", max_chain: int = 64, optimal: bool = False
+    src, hist: bytes = b"", max_chain: int = 64, optimal: bool = False,
+    lazy: bool = True,
 ) -> bytes:
-    """LZ4 block compression: lazy hash-chain matcher, or the exact
-    backward-DP optimal parse when ``optimal`` (slower, best ratio)."""
+    """LZ4 block compression: hash-chain matcher (with skip
+    acceleration; ``lazy`` enables one-step deferred matching for
+    ratio), or the exact backward-DP optimal parse when ``optimal``
+    (slower, best ratio)."""
     src_b = bytes(src)
     if not src_b:
         return b""
@@ -287,16 +291,17 @@ def compress_block(
         hist_len = 0
     cap = len(src_b) + len(src_b) // 128 + 64
     dst = np.empty(cap, dtype=np.uint8)
-    fn = (
-        _get().lz4tpu_compress_block_opt
-        if optimal
-        else _get().lz4tpu_compress_block
-    )
-    n = fn(
-        _u8ptr(joined), hist_len,
-        _u8ptr(joined[hist_len:]) if hist_len else _u8ptr(joined), len(src_b),
-        _u8ptr(dst), cap, max_chain,
-    )
+    src_ptr = _u8ptr(joined[hist_len:]) if hist_len else _u8ptr(joined)
+    if optimal:
+        n = _get().lz4tpu_compress_block_opt(
+            _u8ptr(joined), hist_len, src_ptr, len(src_b),
+            _u8ptr(dst), cap, max_chain,
+        )
+    else:
+        n = _get().lz4tpu_compress_block(
+            _u8ptr(joined), hist_len, src_ptr, len(src_b),
+            _u8ptr(dst), cap, max_chain, 1 if lazy else 0,
+        )
     if n < 0:
         raise RuntimeError("lz4tpu_compress_block: destination overflow")
     return dst[:n].tobytes()

@@ -431,7 +431,7 @@ int64_t lz4tpu_compress_block(
     const uint8_t* hist, int64_t hist_len,
     const uint8_t* src, int64_t src_len,
     uint8_t* dst, int64_t dst_cap,
-    int32_t max_chain) {
+    int32_t max_chain, int32_t lazy) {
     if (src_len <= 0) return 0;
 
     // Work over a virtual stream: positions [0, hist_len) are history,
@@ -480,7 +480,12 @@ int64_t lz4tpu_compress_block(
         int tries = max_chain;
         const int64_t maxl = match_limit - p;
         while (cand >= 0 && cand + 0xFFFF >= p && tries-- > 0) {
-            if (cand < p && read32(base + cand) == read32(base + p)) {
+            // one-byte pre-test: a candidate that cannot beat best_len
+            // differs at position best_len; rejects most of the chain
+            // on repetitive data with a single load
+            if (cand < p
+                && (best_len == 0 || base[cand + best_len] == base[p + best_len])
+                && read32(base + cand) == read32(base + p)) {
                 int64_t l = MINMATCH;
                 while (l < maxl && base[cand + l] == base[p + l]) ++l;
                 if (l >= MINMATCH && l > best_len) {
@@ -498,17 +503,24 @@ int64_t lz4tpu_compress_block(
         return best_len;
     };
 
+    // Skip acceleration (the classic LZ4 fast-path trade): after ~64
+    // consecutive miss positions the stride between attempted
+    // positions grows, so incompressible regions cost O(n/step)
+    // searches instead of O(n). Skipped positions are not inserted —
+    // a deliberate ratio-for-speed trade reset on every found match.
+    int64_t search_count = 1 << 6;
     while (ip + MFLIMIT <= end) {
         int64_t best_pos = -1;
         int64_t best_len = find_match(ip, &best_pos);
         if (best_len < MINMATCH) {
-            ++ip;
+            ip += search_count++ >> 6;
             continue;
         }
+        search_count = 1 << 6;
 
         // Lazy evaluation: a longer match starting one byte later wins
         // (repeat while it keeps improving).
-        while (ip + 1 + MFLIMIT <= end) {
+        while (lazy && ip + 1 + MFLIMIT <= end) {
             int64_t pos1 = -1;
             int64_t len1 = find_match(ip + 1, &pos1);
             if (len1 > best_len + 1) {
@@ -766,7 +778,9 @@ int64_t lz4tpu_compress_block_opt(
             int64_t best = 0, bpos = -1;
             const int64_t maxl = match_limit - ip;
             while (cand >= 0 && cand + 0xFFFF >= ip && tries-- > 0) {
-                if (cand < ip && read32(base + cand) == read32(base + ip)) {
+                if (cand < ip
+                    && (best == 0 || base[cand + best] == base[ip + best])
+                    && read32(base + cand) == read32(base + ip)) {
                     int64_t l = extend_match(base, cand, ip, 4, maxl);
                     if (l >= 4 && l > best) { best = l; bpos = cand; }
                     if (best >= maxl) break;  // cannot improve
