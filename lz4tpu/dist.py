@@ -350,8 +350,8 @@ def decompress_sharded(data, mesh: Mesh | None = None, reservation=None) -> byte
     from .constants import FOR_ALL
     from .frame import parse_frames
     from .pipeline import (
-        _DENSE_MAX_CHAIN_OUT, _chains_of, _verify_checksums,
-        build_seq_table,
+        _DENSE_MAX_CHAIN_OUT, BatchCapacityExceeded, _chains_of,
+        _verify_checksums, build_seq_table,
     )
 
     if reservation is None:
@@ -362,7 +362,13 @@ def decompress_sharded(data, mesh: Mesh | None = None, reservation=None) -> byte
     if buf.size == 0:
         return b""
     parsed = parse_frames(buf, reservation)
-    table = build_seq_table(buf, parsed, reservation, data)
+    try:
+        table = build_seq_table(buf, parsed, reservation, data)
+    except BatchCapacityExceeded:
+        # stream decodes past int32 coordinates: host engine takes over
+        from .api import decompress_host
+
+        return decompress_host(data, reservation)
     if table.n_out == 0:
         return b""
     on_cpu = jax.devices()[0].platform == "cpu"

@@ -115,6 +115,16 @@ def _oracle_rerun(data: bytes, reservation: Reservation) -> bytes:
     return bytes(out)
 
 
+class BatchCapacityExceeded(Exception):
+    """The batched pipeline's sequence table uses int32 global output
+    coordinates; streams decoding past 2**31-1 bytes must go through
+    the (size-unbounded) streaming host engine instead.  Raised before
+    any truncated coordinate can be used; callers fall back."""
+
+
+_BATCH_MAX_OUT = (1 << 31) - 1
+
+
 def build_seq_table(
     buf: np.ndarray, parsed: ParseResult, reservation: Reservation, data
 ) -> SeqTable:
@@ -122,7 +132,9 @@ def build_seq_table(
 
     Uncompressed blocks become single literal-only pseudo-sequences.
     Raises with reference parity on malformed payloads (via oracle
-    re-run, so embedded diagnostic values match exactly).
+    re-run, so embedded diagnostic values match exactly).  Raises
+    BatchCapacityExceeded when total output exceeds int32 coordinates
+    (callers fall back to the streaming host engine).
     """
     from . import native
 
@@ -154,6 +166,8 @@ def build_seq_table(
                     )
                 )
                 n_out += blk.comp_len
+                if n_out > _BATCH_MAX_OUT:
+                    raise BatchCapacityExceeded(n_out)
                 n_seq += 1
                 span.seq_hi = n_seq
                 span.out_hi = n_out
@@ -178,6 +192,8 @@ def build_seq_table(
                 frame_crosses = min_reach < span.out_lo
             chunks.append((starts, ll, ls, ml, mo))
             n_out += total
+            if n_out > _BATCH_MAX_OUT:
+                raise BatchCapacityExceeded(n_out)
             n_seq += ll.size
             span.seq_hi = n_seq
             span.out_hi = n_out
@@ -532,7 +548,14 @@ def decompress_to_device(
     if buf.size == 0:
         return jnp.zeros(0, jnp.uint8)
     parsed = parse_frames(buf, reservation)
-    table = build_seq_table(buf, parsed, reservation, data)
+    try:
+        table = build_seq_table(buf, parsed, reservation, data)
+    except BatchCapacityExceeded as e:
+        raise ValueError(
+            "decompress_to_device: stream decodes past 2**31-1 bytes, "
+            "beyond the batched pipeline's int32 coordinates; split the "
+            "input by frame or use the streaming host engine"
+        ) from e
     if table.n_out == 0:
         return jnp.zeros(0, jnp.uint8)
     plan = plan_decode(buf, parsed, table)
@@ -617,7 +640,14 @@ def decompress_device(
     t0 = _time.perf_counter()
     parsed = parse_frames(buf, reservation)
     t1 = _time.perf_counter()
-    table = build_seq_table(buf, parsed, reservation, data)
+    try:
+        table = build_seq_table(buf, parsed, reservation, data)
+    except BatchCapacityExceeded:
+        # stream decodes past int32 coordinates: the size-unbounded
+        # streaming host engine takes over
+        from .api import decompress_host
+
+        return decompress_host(data, reservation)
     t2 = _time.perf_counter()
     if stats is not None:
         stats.comp_bytes = buf.size

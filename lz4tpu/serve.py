@@ -165,7 +165,14 @@ class DecodeSession:
             ticket._finish(buf, None, None, [])
             return
         parsed = pl.parse_frames(buf, self.reservation)
-        table = pl.build_seq_table(buf, parsed, self.reservation, data)
+        try:
+            table = pl.build_seq_table(buf, parsed, self.reservation, data)
+        except pl.BatchCapacityExceeded:
+            from .api import decompress_host
+
+            ticket._out_np = decompress_host(data, self.reservation)
+            ticket._done.set()
+            return
         if table.n_out == 0:
             ticket._finish(buf, parsed, table, [])
             return
