@@ -340,7 +340,7 @@ def decode_dense2_rows(pack: DensePack2, interpret: bool = False,
             n_sub=pack.n_sub, interpret=interpret,
         )
         return np.asarray(jax.device_get(rows)).reshape(-1)
-    outs = []
+    out = np.empty(pack.n_sub * SUB, np.uint8)
     ring = ring_init
     for p0 in range(0, pack.n_sub, part):
         p1 = min(p0 + part, pack.n_sub)
@@ -348,8 +348,42 @@ def decode_dense2_rows(pack: DensePack2, interpret: bool = False,
             jnp.asarray(pack.code[p0:p1]), jnp.asarray(pack.scal[p0:p1]),
             ring, n_sub=p1 - p0, interpret=interpret,
         )
-        outs.append(np.asarray(jax.device_get(rows)).reshape(-1))
-    return np.concatenate(outs)
+        out[p0 * SUB:p1 * SUB] = np.asarray(
+            jax.device_get(rows)
+        ).reshape(-1)
+    return out
+
+
+def decode_dense2_rows_on_device(pack: DensePack2, interpret: bool = False,
+                                 ring_init=None,
+                                 part_subs: int | None = None):
+    """decode_dense2_rows, but the flat uint8 rows stay a device array
+    (for HBM-resident consumers).  Same part-wise launch bound: chains
+    beyond ``part_subs`` substeps split across launches with ring
+    carry, so the device-resident code transient stays bounded; part
+    outputs are concatenated on device."""
+    import jax
+    import jax.numpy as jnp
+
+    if pack.n_sub == 0:
+        return jnp.zeros(0, jnp.uint8)
+    part = part_subs or PART_SUBS
+    if pack.n_sub <= part:
+        rows, _ring = _decode_dense2_device(
+            jnp.asarray(pack.code), jnp.asarray(pack.scal), ring_init,
+            n_sub=pack.n_sub, interpret=interpret,
+        )
+        return rows.reshape(-1)
+    parts = []
+    ring = ring_init
+    for p0 in range(0, pack.n_sub, part):
+        p1 = min(p0 + part, pack.n_sub)
+        rows, ring = _decode_dense2_device(
+            jnp.asarray(pack.code[p0:p1]), jnp.asarray(pack.scal[p0:p1]),
+            ring, n_sub=p1 - p0, interpret=interpret,
+        )
+        parts.append(rows.reshape(-1))
+    return jnp.concatenate(parts)
 
 
 def decode_dense2(pack: DensePack2, interpret: bool = False) -> list:

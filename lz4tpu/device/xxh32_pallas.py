@@ -150,44 +150,110 @@ def xxh32_device(data: np.ndarray, interpret: bool = False) -> int:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("lo", "n", "interpret"))
-def _device_lane_state_of(arr, *, lo: int, n: int, interpret: bool):
-    """Lane state of arr[lo:lo+n] for an HBM-resident uint8 array:
-    byte->word conversion and stripe accumulation all on device."""
-    n_stripes = n // 16
-    body = jax.lax.dynamic_slice(arr, (lo,), (n_stripes * 16,))
-    b = body.reshape(n_stripes * 4, 4).astype(jnp.int32)
+_SEG_BYTES = 8 << 20            # fixed hash segment: ONE compiled shape
+_SMALL_FETCH = 8 << 20          # below this, fetching + native hash wins
+
+
+def _xxh32_kernel_cont(nstripes_ref, words_ref, state_in_ref,
+                       state_out_ref):
+    """Like _xxh32_kernel but continues from a caller-provided lane
+    state, so arbitrarily long streams hash as a chain of fixed-shape
+    segment launches (compiled once)."""
+    chunk = pl.program_id(0)
+    base = chunk * (_WORDS_PER_STEP // 4)
+
+    @pl.when(chunk == 0)
+    def _():
+        for lane in range(4):
+            state_out_ref[lane] = state_in_ref[lane]
+
+    n_stripes = nstripes_ref[0]
+
+    def body(i, _):
+        @pl.when(base + i < n_stripes)
+        def _():
+            p2 = jnp.int32(np.uint32(P2).astype(np.int32))
+            p1 = jnp.int32(np.uint32(P1).astype(np.int32))
+            for lane in range(4):
+                w = words_ref[i * 4 + lane]
+                s = state_out_ref[lane]
+                state_out_ref[lane] = _mul32(_rotl(s + _mul32(w, p2), 13), p1)
+        return 0
+
+    jax.lax.fori_loop(0, _WORDS_PER_STEP // 4, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _lane_state_segment(seg, n_stripes, state, *, interpret: bool):
+    """Lane state after hashing `n_stripes` stripes of one fixed-size
+    (_SEG_BYTES,) uint8 segment, continuing from `state`.  Fixed input
+    shapes mean this traces and lowers the Pallas kernel exactly once
+    per process, regardless of frame sizes/offsets."""
+    b = seg.reshape(_SEG_BYTES // 4, 4).astype(jnp.int32)
     words = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16) | (b[:, 3] << 24)
-    pad = (-words.size) % _WORDS_PER_STEP
-    if pad:
-        words = jnp.concatenate([words, jnp.zeros(pad, jnp.int32)])
-    return _lane_state(
-        jnp.full((1,), n_stripes, jnp.int32),
-        words,
-        grid=words.size // _WORDS_PER_STEP,
+    return pl.pallas_call(
+        _xxh32_kernel_cont,
+        grid=((_SEG_BYTES // 4) // _WORDS_PER_STEP,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (_WORDS_PER_STEP,), lambda c: (c,), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((4,), jnp.int32),
         interpret=interpret,
-    )
+    )(n_stripes, words, state)
 
 
 def xxh32_of_device_array(arr, lo: int, hi: int,
                           interpret: bool = False) -> int:
     """xxh32(seed=0) of arr[lo:hi] where arr is a device-resident uint8
     jax.Array — the content-checksum path for HBM-resident decode
-    output (``decompress_to_device(verify="device")``).  Only the
-    16-byte lane state and the <16-byte stripe tail cross the
-    host<->device link; the decoded bytes never leave HBM.
+    output (``decompress_to_device(verify="device")``).
+
+    Large ranges hash as a chain of fixed-shape 8 MiB segment launches
+    with carried lane state — one Pallas compilation per process, any
+    number of frames/sizes/offsets — and only 16-byte lane states plus
+    the <16-byte stripe tail cross the host<->device link.  Ranges
+    under 8 MiB are simply fetched and hashed natively (moving a few MB
+    costs less than a device launch chain buys).
     """
     import jax as _jax
+    import jax.numpy as _jnp
 
     n = hi - lo
+    if n < _SMALL_FETCH:
+        seg = np.asarray(
+            _jax.device_get(_jax.lax.dynamic_slice(arr, (lo,), (max(n, 1),)))
+        )[:n]
+        return XXHash32().update(seg.tobytes()).final()
     n_stripes = n // 16
-    tail_lo = lo + n_stripes * 16
     tail = np.asarray(
         _jax.device_get(
-            _jax.lax.dynamic_slice(arr, (tail_lo,), (n - n_stripes * 16,))
+            _jax.lax.dynamic_slice(
+                arr, (lo + n_stripes * 16,), (max(n - n_stripes * 16, 1),)
+            )
         )
-    ).tobytes() if n % 16 else b""
-    if n_stripes == 0:
-        return XXHash32().update(tail).final()
-    state = _device_lane_state_of(arr, lo=lo, n=n, interpret=interpret)
+    )[: n - n_stripes * 16].tobytes()
+    # one-time slack pad so every fixed-size segment slice is in bounds
+    arr_p = _jnp.concatenate(
+        [arr, _jnp.zeros(_SEG_BYTES, _jnp.uint8)]
+    )
+    state = _jnp.asarray(np.array([     # seed = 0 lane init
+        (P1 + P2) & 0xFFFFFFFF, P2, 0, (-P1) & 0xFFFFFFFF,
+    ], dtype=np.uint32).astype(np.int32))
+    seg_stripes_max = _SEG_BYTES // 16
+    done = 0
+    pos = lo
+    while done < n_stripes:
+        take = min(seg_stripes_max, n_stripes - done)
+        seg = _jax.lax.dynamic_slice(arr_p, (pos,), (_SEG_BYTES,))
+        state = _lane_state_segment(
+            seg, _jnp.full((1,), take, _jnp.int32), state,
+            interpret=interpret,
+        )
+        done += take
+        pos += take * 16
     return _finalize(np.asarray(_jax.device_get(state)), n, tail)

@@ -1013,13 +1013,20 @@ int64_t lz4tpu_pack_dense2(
             j += m;
             continue;
         }
-        if (off >= 2048) {  // ring fill that wraps 64 Ki
-            const int32_t v = (int32_t)q | 0x10000;
-            const int64_t first = 65536 - q;
-            for (int64_t k = 0; k < first; ++k)
-                code[j + k] = v + (int32_t)k;
-            for (int64_t k = first; k < m; ++k)
-                code[j + k] = (int32_t)(k - first) | 0x10000;
+        if (off >= 2048) {
+            // ring fill that wraps 64 Ki — possibly several times for
+            // matches longer than the ring (positions stay mod 64 Ki)
+            int64_t k = 0;
+            int64_t q0 = q;
+            while (k < m) {
+                int64_t run = 65536 - q0;
+                if (run > m - k) run = m - k;
+                const int32_t v = (int32_t)q0 | 0x10000;
+                for (int64_t t = 0; t < run; ++t)
+                    code[j + k + t] = v + (int32_t)t;
+                k += run;
+                q0 = 0;
+            }
             j += m;
             continue;
         }

@@ -154,6 +154,10 @@ def build_seq_table(
                 out_lo=n_out, out_hi=n_out,
                 independent=frame.block_independence,
             )
+            if blk.comp_off + blk.comp_len > _BATCH_MAX_OUT:
+                # input coordinates (lit_src / uncompressed pseudo-seq
+                # src) are int32 too
+                raise BatchCapacityExceeded(blk.comp_off + blk.comp_len)
             payload = buf[blk.comp_off:blk.comp_off + blk.comp_len]
             if not blk.is_compressed:
                 chunks.append(
@@ -515,6 +519,52 @@ def _resolve_chain(buf: np.ndarray, table: SeqTable, chain) -> np.ndarray:
     return out[:n_loc]
 
 
+def build_device_segments(buf: np.ndarray, table: SeqTable, plan: DecodePlan,
+                          interpret: bool = False) -> list:
+    """Execute a DecodePlan with every output as a device-resident
+    uint8 array: returns [(out_lo, array of exactly chain length)].
+    Shared by decompress_to_device and serve.DecodeSession.  Dense
+    chains go through the part-wise launcher (mxu2.PART_SUBS), bounding
+    the HBM held by routing codes regardless of chain size."""
+    import jax
+    import jax.numpy as jnp
+
+    from .device import mxu2 as mx
+    from .device import sparse_decode as sp
+
+    if (plan.dense_pack is not None and not interpret
+            and jax.devices()[0].platform == "cpu"):
+        # compiled Pallas needs a TPU; CPU runs cover the dense route
+        # through interpret mode, so demote to the XLA resolver here
+        plan = dataclasses.replace(
+            plan, other=plan.other + plan.dense_chains,
+            dense_chains=[], dense_pack=None,
+        )
+    segs: list = []
+    if plan.sparse:
+        comp_dev = jnp.asarray(buf)
+        for chain, prog in plan.sparse:
+            n_c = chain.out_hi - chain.out_lo
+            segs.append(
+                (chain.out_lo, sp.decode_sparse_device(prog, comp_dev)[:n_c])
+            )
+    if plan.dense_pack is not None:
+        pk = plan.dense_pack
+        flat = mx.decode_dense2_rows_on_device(pk, interpret=interpret)
+        for chain, (_c, slo, _shi, out_len) in zip(
+            plan.dense_chains, pk.out_spans
+        ):
+            segs.append(
+                (chain.out_lo,
+                 jax.lax.dynamic_slice(flat, (slo * mx.SUB,), (out_len,)))
+            )
+    for chain in plan.other:
+        segs.append(
+            (chain.out_lo, jnp.asarray(_resolve_chain(buf, table, chain)))
+        )
+    return segs
+
+
 def decompress_to_device(
     data,
     reservation: Reservation = FOR_ALL,
@@ -526,7 +576,9 @@ def decompress_to_device(
     Returns a ``jax.Array`` of uint8 with exactly the decoded bytes —
     the API for TPU-resident consumers (the decoded tensor feeds the
     next device computation without a host round trip, the deployment
-    the bench measures).
+    the bench measures).  Dense chains run through the part-wise
+    launcher, so device HBM held by routing codes stays bounded
+    regardless of chain size.
 
     verify: "host" fetches a copy to verify block/content checksums
     with reference-parity errors (the returned array itself stays on
@@ -540,9 +592,6 @@ def decompress_to_device(
     """
     import jax
     import jax.numpy as jnp
-
-    from .device import mxu2 as mx
-    from .device import sparse_decode as sp
 
     buf = np.frombuffer(bytes(data), dtype=np.uint8)
     if buf.size == 0:
@@ -558,39 +607,8 @@ def decompress_to_device(
         ) from e
     if table.n_out == 0:
         return jnp.zeros(0, jnp.uint8)
-    plan = plan_decode(buf, parsed, table)
-    if (plan.dense_pack is not None and not interpret
-            and jax.devices()[0].platform == "cpu"):
-        plan = dataclasses.replace(
-            plan, other=plan.other + plan.dense_chains,
-            dense_chains=[], dense_pack=None,
-        )
-
-    segs = []   # (out_lo, device uint8 array of exactly chain length)
-    if plan.sparse:
-        comp_dev = jnp.asarray(buf)
-        for chain, prog in plan.sparse:
-            n_c = chain.out_hi - chain.out_lo
-            h = sp.decode_sparse_device(prog, comp_dev)
-            segs.append((chain.out_lo, h[:n_c]))
-    if plan.dense_pack is not None:
-        pk = plan.dense_pack
-        rows, _ring = mx._decode_dense2_device(
-            jnp.asarray(pk.code), jnp.asarray(pk.scal),
-            n_sub=pk.n_sub, interpret=interpret,
-        )
-        flat = rows.reshape(-1)
-        for chain, (_c, slo, _shi, out_len) in zip(
-            plan.dense_chains, pk.out_spans
-        ):
-            segs.append(
-                (chain.out_lo,
-                 jax.lax.dynamic_slice(flat, (slo * mx.SUB,), (out_len,)))
-            )
-    for chain in plan.other:
-        segs.append(
-            (chain.out_lo, jnp.asarray(_resolve_chain(buf, table, chain)))
-        )
+    segs = build_device_segments(buf, table, plan_decode(buf, parsed, table),
+                                 interpret)
 
     @jax.jit
     def assemble(parts):

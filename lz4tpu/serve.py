@@ -50,6 +50,7 @@ class DecodeTicket:
     def __init__(self, session: "DecodeSession"):
         self._session = session
         self._done = threading.Event()
+        self._released = False
         self._error: BaseException | None = None
         # set by the prep thread on success:
         self._buf: np.ndarray | None = None
@@ -74,6 +75,9 @@ class DecodeTicket:
     def result(self, timeout: float | None = None) -> bytes:
         if not self._done.wait(timeout):
             raise TimeoutError("decode not finished")
+        if not self._released:      # free the session's in-flight slot
+            self._released = True
+            self._session._slots.release()
         if self._error is not None:
             raise self._error
         if self._out_np is None:
@@ -100,15 +104,21 @@ class DecodeSession:
     """Two-stage pipelined decoder (host prep thread + async device
     dispatch).  Results come back in submission order via tickets.
 
-    max_inflight bounds the number of requests whose device work may be
-    enqueued but uncollected (bounds HBM held by pending outputs).
+    max_inflight bounds the number of requests that have been submitted
+    but whose results have not been collected yet — that is, it bounds
+    the HBM held by pending outputs.  ``submit`` blocks once the bound
+    is reached until a ``result()`` call frees a slot, so every ticket
+    must eventually be collected.
     """
 
     def __init__(self, reservation: Reservation = FOR_ALL,
                  max_inflight: int = 4, interpret: bool = False):
         self.reservation = Reservation(reservation)
         self.interpret = interpret
-        self._q: "queue.Queue" = queue.Queue(maxsize=max(1, max_inflight))
+        self._q: "queue.Queue" = queue.Queue()
+        self._max_inflight = max(1, max_inflight)
+        self._slots = threading.BoundedSemaphore(self._max_inflight)
+        self._lock = threading.Lock()
         self._closed = False
         self._thread = threading.Thread(
             target=self._prep_loop, name="lz4tpu-prep", daemon=True
@@ -117,21 +127,35 @@ class DecodeSession:
 
     # -- submission ---------------------------------------------------------
     def submit(self, data) -> DecodeTicket:
-        if self._closed:
-            raise RuntimeError("session closed")
+        self._slots.acquire()
         t = DecodeTicket(self)
-        self._q.put((t, bytes(data)))
+        with self._lock:
+            if self._closed:
+                self._slots.release()
+                raise RuntimeError("session closed")
+            self._q.put((t, bytes(data)))
         return t
 
     def decode_all(self, blobs) -> list[bytes]:
-        tickets = [self.submit(b) for b in blobs]
-        return [t.result() for t in tickets]
+        tickets = []
+        outs = []
+        # keep the submission window below the in-flight bound by
+        # collecting the oldest result first, so this never deadlocks
+        # against a blocking submit for any blob count
+        for b in blobs:
+            while len(tickets) >= self._max_inflight:
+                outs.append(tickets.pop(0).result())
+            tickets.append(self.submit(b))
+        outs.extend(t.result() for t in tickets)
+        return outs
 
     def close(self) -> None:
-        if not self._closed:
+        with self._lock:
+            if self._closed:
+                return
             self._closed = True
             self._q.put(None)
-            self._thread.join()
+        self._thread.join()
 
     def __enter__(self) -> "DecodeSession":
         return self
@@ -152,14 +176,6 @@ class DecodeSession:
                 ticket._fail(e)
 
     def _prep_one(self, ticket: DecodeTicket, data: bytes) -> None:
-        import dataclasses
-
-        import jax
-        import jax.numpy as jnp
-
-        from .device import mxu2 as mx
-        from .device import sparse_decode as sp
-
         buf = np.frombuffer(data, dtype=np.uint8)
         if buf.size == 0:
             ticket._finish(buf, None, None, [])
@@ -176,42 +192,12 @@ class DecodeSession:
         if table.n_out == 0:
             ticket._finish(buf, parsed, table, [])
             return
-        plan = pl.plan_decode(buf, parsed, table)
-        if (plan.dense_pack is not None and not self.interpret
-                and jax.devices()[0].platform == "cpu"):
-            plan = dataclasses.replace(
-                plan, other=plan.other + plan.dense_chains,
-                dense_chains=[], dense_pack=None,
-            )
-
-        # Enqueue device work; jax dispatch is async, so these return
-        # immediately and the TPU overlaps the next request's prep.
-        segs: list = []
-        if plan.sparse:
-            comp_dev = jnp.asarray(buf)
-            for chain, prog in plan.sparse:
-                n_c = chain.out_hi - chain.out_lo
-                segs.append(
-                    (chain.out_lo, sp.decode_sparse_device(prog, comp_dev)[:n_c])
-                )
-        if plan.dense_pack is not None:
-            pk = plan.dense_pack
-            rows, _ring = mx._decode_dense2_device(
-                jnp.asarray(pk.code), jnp.asarray(pk.scal),
-                n_sub=pk.n_sub, interpret=self.interpret,
-            )
-            flat = rows.reshape(-1)
-            for chain, (_c, slo, _shi, out_len) in zip(
-                plan.dense_chains, pk.out_spans
-            ):
-                segs.append(
-                    (chain.out_lo,
-                     jax.lax.dynamic_slice(flat, (slo * mx.SUB,), (out_len,)))
-                )
-        for chain in plan.other:
-            segs.append(
-                (chain.out_lo, jnp.asarray(pl._resolve_chain(buf, table, chain)))
-            )
+        # Enqueue device work (shared with decompress_to_device); jax
+        # dispatch is async, so this returns as soon as the kernels are
+        # queued and the TPU overlaps the next request's prep.
+        segs = pl.build_device_segments(
+            buf, table, pl.plan_decode(buf, parsed, table), self.interpret
+        )
         ticket._finish(buf, parsed, table, segs)
 
     # -- result-side checksum verification --------------------------------

@@ -98,6 +98,28 @@ def test_decompress_to_device(vectors_dir):
     assert out.shape[0] == 102400
 
 
+def test_xxh32_segment_chain(monkeypatch):
+    """The fixed-shape segment hasher must match the reference digest
+    across segment boundaries, partial final segments, and stripe
+    tails.  Shrink the segment/fetch thresholds so the chain runs in
+    interpret mode on small data."""
+    import jax.numpy as jnp
+
+    from lz4tpu.device import xxh32_pallas as xp
+    from lz4tpu.xxh32 import xxh32
+
+    monkeypatch.setattr(xp, "_SEG_BYTES", 1 << 15)     # 32 KiB segments
+    monkeypatch.setattr(xp, "_SMALL_FETCH", 1 << 14)
+    rng = np.random.default_rng(3)
+    data = rng.integers(0, 256, 200_000, dtype=np.uint8)
+    arr = jnp.asarray(data)
+    for lo, hi in ((0, 200_000), (7, 199_003), (100, 100 + (1 << 15)),
+                   (5, 5 + (1 << 15) + 13), (0, 16), (3, 3)):
+        got = xp.xxh32_of_device_array(arr, lo, hi, interpret=True)
+        want = xxh32(data[lo:hi].tobytes())
+        assert got == want, (lo, hi)
+
+
 def test_decompress_to_device_verify_device(vectors_dir):
     """verify="device": content checksums computed by the Pallas xxh32
     stripe kernel over the HBM-resident output; decoded bytes never

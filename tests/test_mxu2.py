@@ -188,6 +188,35 @@ class TestPartedDecode:
         assert parted[: table.n_out].tobytes() == payload
 
 
+class TestLongRingFills:
+    def test_match_spanning_multiple_64k_wraps(self):
+        """Regression: a single match longer than 128 KiB at offset >=
+        2048 produces a ring fill whose mod-64Ki positions wrap more
+        than once; the run-level native resolver must mask every wrap
+        (it once leaked bit 17 into the known-value field, silently
+        corrupting dense decode)."""
+        rng = np.random.default_rng(21)
+        words = [b"alpha", b"bravo", b"charlie", b"delta"]
+        text = b" ".join(words[int(rng.integers(0, 4))] for _ in range(8000))
+        pattern = rng.integers(0, 256, 4096, dtype=np.uint8).tobytes()
+        payload = text + pattern * 60          # one ~240 KiB match, off=4096
+        data = lz4tpu.compress(payload, content_checksum=True)
+        pack, table = _pack_of(data)
+        # native must stay bit-identical to the numpy resolver
+        import lz4tpu.frame as fr
+        import lz4tpu.pipeline as pl
+        buf = np.frombuffer(data, np.uint8)
+        parsed = fr.parse_frames(buf)
+        tbl = pl.build_seq_table(buf, parsed, pl.Reservation.SZ_8_MIB, buf)
+        code_np, n_np = mxu2._pack_chain(
+            tbl.lit_len, tbl.lit_src, tbl.match_len, tbl.match_off, buf
+        )
+        assert np.array_equal(pack.code.reshape(-1)[:n_np], code_np)
+        # and the kernel must decode it bit-exactly
+        flat = mxu2.decode_dense2_rows(pack, interpret=True)
+        assert flat[: table.n_out].tobytes() == payload
+
+
 class TestRingChaining:
     def test_ring_carry(self):
         # Split one chain's substeps across two kernel launches: the

@@ -54,7 +54,9 @@ class TestSessionRoundTrip:
                 p = b"\x00" * n
             payloads.append(p)
         blobs = [lz4tpu.compress(p) for p in payloads]
-        with DecodeSession() as s:
+        # max_inflight >= len(blobs): all may be submitted before any
+        # collection, so out-of-order collection can be exercised
+        with DecodeSession(max_inflight=len(blobs)) as s:
             tickets = [s.submit(b) for b in blobs]
             # collect out of submission order: results must still match
             for i in reversed(range(len(tickets))):
@@ -68,11 +70,36 @@ class TestSessionRoundTrip:
             assert t.result() == r
 
     def test_session_survives_many_submissions(self, vectors_dir):
+        # decode_all windows submissions under the in-flight bound, so
+        # any blob count works with a tiny max_inflight
         d, r = _vec(vectors_dir, "z1k")
         with DecodeSession(max_inflight=2) as s:
-            tickets = [s.submit(d) for _ in range(25)]
-            for t in tickets:
-                assert t.result() == r
+            assert s.decode_all([d] * 25) == [r] * 25
+
+    def test_submit_blocks_at_inflight_bound(self, vectors_dir):
+        # the documented bound: submit blocks once max_inflight results
+        # are pending, and unblocks when one is collected
+        import threading
+        import time
+
+        d, r = _vec(vectors_dir, "z1k")
+        with DecodeSession(max_inflight=2) as s:
+            t1, t2 = s.submit(d), s.submit(d)
+            state = {}
+
+            def third():
+                state["t3"] = s.submit(d)
+                state["done"] = True
+
+            th = threading.Thread(target=third, daemon=True)
+            th.start()
+            time.sleep(0.3)
+            assert "done" not in state       # blocked at the bound
+            assert t1.result() == r          # frees a slot
+            th.join(timeout=10)
+            assert state.get("done")
+            assert t2.result() == r
+            assert state["t3"].result() == r
 
 
 class TestSessionErrors:
