@@ -58,6 +58,7 @@ class DecodeTicket:
         self._table = None
         self._segs: list | None = None   # [(out_lo, device array)]
         self._out_np: bytes | None = None
+        self._out_dev = None             # cached device-resident result
 
     # -- prep-thread side -------------------------------------------------
     def _fail(self, exc: BaseException) -> None:
@@ -85,6 +86,11 @@ class DecodeTicket:
 
             if self._table is None:        # empty input fast path
                 self._out_np = b""
+            elif self._segs is None:
+                # already collected via result_on_device: fetch that
+                self._out_np = np.asarray(
+                    jax.device_get(self._out_dev)
+                ).tobytes()
             else:
                 out = bytearray(self._table.n_out)
                 for lo, arr in self._segs:
@@ -94,10 +100,63 @@ class DecodeTicket:
                 self._session._verify(self._buf, self._parsed, out,
                                       self._table)
                 self._out_np = out
-            # release device/host references
-            self._segs = None
-            self._buf = None
+                # release device/host references
+                self._segs = None
+                self._buf = None
         return self._out_np
+
+    def result_on_device(self, timeout: float | None = None,
+                         verify: str = "device"):
+        """Like result(), but the decoded bytes stay a device-resident
+        uint8 jax.Array (the HBM consumer path, cf.
+        decompress_to_device).  verify: "device" (content checksums via
+        the Pallas xxh32 segment hasher, no output fetch), or "none".
+        """
+        if not self._done.wait(timeout):
+            raise TimeoutError("decode not finished")
+        if not self._released:
+            self._released = True
+            self._session._slots.release()
+        if self._error is not None:
+            raise self._error
+        import jax
+        import jax.numpy as jnp
+
+        if self._out_dev is not None:
+            return self._out_dev
+        if self._out_np is not None and self._table is not None:
+            # already collected as host bytes: stage those
+            self._out_dev = jnp.asarray(
+                np.frombuffer(self._out_np, np.uint8)
+            )
+            return self._out_dev
+        if self._table is None or not self._segs:
+            self._out_dev = jnp.zeros(
+                0 if self._table is None else self._table.n_out, jnp.uint8
+            )
+            return self._out_dev
+        table, segs = self._table, self._segs
+
+        if (len(segs) == 1 and segs[0][0] == 0
+                and segs[0][1].shape[0] == table.n_out):
+            out_dev = segs[0][1]
+        else:
+            out = jnp.zeros(table.n_out, jnp.uint8)
+            for lo, arr in segs:
+                out = jax.lax.dynamic_update_slice(out, arr, (lo,))
+            out_dev = out
+        if verify == "device":
+            from .pipeline import _verify_checksums_device
+
+            _verify_checksums_device(
+                self._buf, self._parsed, out_dev, table,
+                self._session.interpret
+                or jax.devices()[0].platform == "cpu",
+            )
+        self._out_dev = out_dev
+        self._segs = None
+        self._buf = None
+        return out_dev
 
 
 class DecodeSession:

@@ -62,6 +62,24 @@ class TestSessionRoundTrip:
             for i in reversed(range(len(tickets))):
                 assert tickets[i].result() == payloads[i], i
 
+    def test_result_on_device(self, vectors_dir):
+        import jax
+
+        d, r = _vec(vectors_dir, "t100k")
+        with DecodeSession(interpret=True) as s:
+            t = s.submit(d)
+            arr = t.result_on_device()
+            assert arr.dtype.name == "uint8"
+            assert bytes(jax.device_get(arr).tobytes()) == r
+            # repeated + mixed collection stays consistent
+            assert t.result_on_device() is arr
+            assert t.result() == r
+        with DecodeSession(interpret=True) as s:
+            t = s.submit(d)
+            assert t.result() == r            # bytes first
+            arr = t.result_on_device()        # then device
+            assert bytes(jax.device_get(arr).tobytes()) == r
+
     def test_result_is_idempotent(self, vectors_dir):
         d, r = _vec(vectors_dir, "t2")
         with DecodeSession() as s:
