@@ -60,6 +60,49 @@ class TestRoundTripAllBackends:
         assert lz4tpu.decompress(blob, backend="device") == payload
 
 
+class TestLengthExtremes:
+    """Length extremes, added after a run-length bug that only
+    manifested on matches spanning multiple 64 Ki ring wraps: the
+    shapes that stress every length-encoding and run-splitting path."""
+
+    def test_giant_single_match(self):
+        # one ~700 KiB match at a >=2048 offset (multi-wrap ring fill)
+        rng = np.random.default_rng(31)
+        pat = rng.integers(0, 256, 4096, dtype=np.uint8).tobytes()
+        payload = b"prefix " * 512 + pat * 180
+        blob = lz4tpu.compress(payload)
+        assert lz4tpu.decompress(blob, backend="host") == payload
+        assert lz4tpu.decompress(blob, backend="device") == payload
+
+    def test_giant_literal_run(self):
+        # ~300 KiB of incompressible literals inside one sequence
+        rng = np.random.default_rng(32)
+        lits = bytes(rng.integers(0, 256, 300_000, dtype=np.uint8))
+        payload = b"abcabcabc" * 400 + lits + b"abcabcabc" * 400
+        blob = lz4tpu.compress(payload)
+        assert lz4tpu.decompress(blob, backend="host") == payload
+        assert lz4tpu.decompress(blob, backend="device") == payload
+
+    def test_255_chain_boundaries(self):
+        # literal/match lengths at every 255-extension boundary
+        for n in (14, 15, 16, 269, 270, 271, 524, 525, 526):
+            rng = np.random.default_rng(n)
+            lits = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+            payload = lits + b"Z" * (n + 4) + lits
+            blob = lz4tpu.compress(payload, level=10)
+            assert lz4tpu.decompress(blob, backend="host") == payload, n
+            assert lz4tpu.decompress(blob, backend="device") == payload, n
+
+    def test_small_offset_long_match(self):
+        # off < 2048 with a long run exercises the segmented
+        # inherit/ring split in the native resolver
+        for off in (1, 2, 3, 7, 64, 65, 2047):
+            payload = (b"x" * off) * ((500_000 // off) + 1)
+            blob = lz4tpu.compress(payload[:500_000])
+            assert lz4tpu.decompress(blob, backend="host") == payload[:500_000], off
+            assert lz4tpu.decompress(blob, backend="device") == payload[:500_000], off
+
+
 class TestConcatenationFuzz:
     def test_random_archives(self):
         rng = np.random.default_rng(7)
