@@ -420,6 +420,20 @@ def plan_decode(buf: np.ndarray, parsed: ParseResult, table: SeqTable,
     return plan
 
 
+def _demote_dense_on_cpu(plan: DecodePlan, interpret: bool) -> DecodePlan:
+    """Compiled Pallas needs a TPU; on CPU the resolver covers dense
+    chains (interpret-mode kernel coverage lives in tests/test_mxu2.py)."""
+    import jax
+
+    if (plan.dense_pack is not None and not interpret
+            and jax.devices()[0].platform == "cpu"):
+        plan = dataclasses.replace(
+            plan, other=plan.other + plan.dense_chains,
+            dense_chains=[], dense_pack=None,
+        )
+    return plan
+
+
 def _decode_via_plan(
     buf: np.ndarray, parsed: ParseResult, table: SeqTable, plan: DecodePlan,
     interpret: bool = False,
@@ -432,15 +446,7 @@ def _decode_via_plan(
 
     out = np.empty(table.n_out, np.uint8)
     handles = []
-    if (plan.dense_pack is not None and not interpret
-            and jax.devices()[0].platform == "cpu"):
-        # compiled Pallas needs a TPU; on CPU CI the resolver covers
-        # these chains (interpret-mode kernel coverage lives in
-        # tests/test_mxu2.py)
-        plan = dataclasses.replace(
-            plan, other=plan.other + plan.dense_chains,
-            dense_chains=[], dense_pack=None,
-        )
+    plan = _demote_dense_on_cpu(plan, interpret)
     if plan.sparse:
         comp_dev = jnp.asarray(buf)
         for chain, prog in plan.sparse:
@@ -532,14 +538,7 @@ def build_device_segments(buf: np.ndarray, table: SeqTable, plan: DecodePlan,
     from .device import mxu2 as mx
     from .device import sparse_decode as sp
 
-    if (plan.dense_pack is not None and not interpret
-            and jax.devices()[0].platform == "cpu"):
-        # compiled Pallas needs a TPU; CPU runs cover the dense route
-        # through interpret mode, so demote to the XLA resolver here
-        plan = dataclasses.replace(
-            plan, other=plan.other + plan.dense_chains,
-            dense_chains=[], dense_pack=None,
-        )
+    plan = _demote_dense_on_cpu(plan, interpret)
     segs: list = []
     if plan.sparse:
         comp_dev = jnp.asarray(buf)
