@@ -224,6 +224,8 @@ def xxh32_of_device_array(arr, lo: int, hi: int,
     import jax.numpy as _jnp
 
     n = hi - lo
+    if n <= 0:
+        return XXHash32().final()
     if n < _SMALL_FETCH:
         seg = np.asarray(
             _jax.device_get(_jax.lax.dynamic_slice(arr, (lo,), (max(n, 1),)))

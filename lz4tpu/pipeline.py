@@ -564,6 +564,27 @@ def build_device_segments(buf: np.ndarray, table: SeqTable, plan: DecodePlan,
     return segs
 
 
+def assemble_device_segments(segs: list, n_out: int):
+    """Assemble [(out_lo, device uint8 array)] into one (n_out,) device
+    array (single-segment fast path; jitted update chain otherwise).
+    Shared by decompress_to_device and serve.DecodeTicket."""
+    import jax
+    import jax.numpy as jnp
+
+    if (len(segs) == 1 and segs[0][0] == 0
+            and segs[0][1].shape[0] == n_out):
+        return segs[0][1]
+
+    @jax.jit
+    def assemble(parts):
+        out = jnp.zeros(n_out, jnp.uint8)
+        for (lo, _a), arr in zip(segs, parts):
+            out = jax.lax.dynamic_update_slice(out, arr, (lo,))
+        return out
+
+    return assemble([a for _lo, a in segs])
+
+
 def decompress_to_device(
     data,
     reservation: Reservation = FOR_ALL,
@@ -608,17 +629,7 @@ def decompress_to_device(
         return jnp.zeros(0, jnp.uint8)
     segs = build_device_segments(buf, table, plan_decode(buf, parsed, table),
                                  interpret)
-
-    @jax.jit
-    def assemble(parts):
-        out = jnp.zeros(table.n_out, jnp.uint8)
-        for (lo, _a), arr in zip(segs, parts):
-            out = jax.lax.dynamic_update_slice(out, arr, (lo,))
-        return out
-
-    out_dev = (segs[0][1] if len(segs) == 1 and segs[0][0] == 0
-               and segs[0][1].shape[0] == table.n_out
-               else assemble([a for _lo, a in segs]))
+    out_dev = assemble_device_segments(segs, table.n_out)
     if verify == "host":
         out_np = np.asarray(jax.device_get(out_dev))
         _verify_checksums(buf, parsed, out_np, table)

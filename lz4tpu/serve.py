@@ -59,6 +59,7 @@ class DecodeTicket:
         self._segs: list | None = None   # [(out_lo, device array)]
         self._out_np: bytes | None = None
         self._out_dev = None             # cached device-resident result
+        self._verified = False           # checksums checked (either path)
 
     # -- prep-thread side -------------------------------------------------
     def _fail(self, exc: BaseException) -> None:
@@ -86,11 +87,17 @@ class DecodeTicket:
 
             if self._table is None:        # empty input fast path
                 self._out_np = b""
+                self._verified = True
             elif self._segs is None:
                 # already collected via result_on_device: fetch that
-                self._out_np = np.asarray(
-                    jax.device_get(self._out_dev)
-                ).tobytes()
+                out = np.asarray(jax.device_get(self._out_dev)).tobytes()
+                if not self._verified:
+                    # collected earlier with verify="none": settle the
+                    # checksum contract now that bytes are host-side
+                    self._session._verify(self._buf, self._parsed, out,
+                                          self._table)
+                    self._mark_verified()
+                self._out_np = out
             else:
                 out = bytearray(self._table.n_out)
                 for lo, arr in self._segs:
@@ -100,18 +107,30 @@ class DecodeTicket:
                 self._session._verify(self._buf, self._parsed, out,
                                       self._table)
                 self._out_np = out
-                # release device/host references
                 self._segs = None
-                self._buf = None
+                self._mark_verified()
         return self._out_np
+
+    def _mark_verified(self) -> None:
+        """Checksum contract settled: drop the inputs kept for it."""
+        self._verified = True
+        self._buf = None
+        self._parsed = None
 
     def result_on_device(self, timeout: float | None = None,
                          verify: str = "device"):
         """Like result(), but the decoded bytes stay a device-resident
         uint8 jax.Array (the HBM consumer path, cf.
         decompress_to_device).  verify: "device" (content checksums via
-        the Pallas xxh32 segment hasher, no output fetch), or "none".
+        the Pallas xxh32 segment hasher, no output fetch) or "none"
+        (skip for now; a later result() on the same ticket still
+        verifies before returning bytes).
         """
+        if verify not in ("device", "none"):
+            raise ValueError(
+                f"result_on_device verify must be 'device' or 'none', "
+                f"got {verify!r}"
+            )
         if not self._done.wait(timeout):
             raise TimeoutError("decode not finished")
         if not self._released:
@@ -122,10 +141,24 @@ class DecodeTicket:
         import jax
         import jax.numpy as jnp
 
+        def _verify_dev(out_dev):
+            if verify == "device" and not self._verified:
+                from .pipeline import _verify_checksums_device
+
+                if self._table is not None:
+                    _verify_checksums_device(
+                        self._buf, self._parsed, out_dev, self._table,
+                        self._session.interpret
+                        or jax.devices()[0].platform == "cpu",
+                    )
+                self._mark_verified()
+
         if self._out_dev is not None:
+            _verify_dev(self._out_dev)
             return self._out_dev
-        if self._out_np is not None and self._table is not None:
-            # already collected as host bytes: stage those
+        if self._out_np is not None:
+            # already collected as host bytes (result() or the host
+            # fallback) — both verified; stage those
             self._out_dev = jnp.asarray(
                 np.frombuffer(self._out_np, np.uint8)
             )
@@ -134,28 +167,14 @@ class DecodeTicket:
             self._out_dev = jnp.zeros(
                 0 if self._table is None else self._table.n_out, jnp.uint8
             )
+            _verify_dev(self._out_dev)
             return self._out_dev
-        table, segs = self._table, self._segs
+        from .pipeline import assemble_device_segments
 
-        if (len(segs) == 1 and segs[0][0] == 0
-                and segs[0][1].shape[0] == table.n_out):
-            out_dev = segs[0][1]
-        else:
-            out = jnp.zeros(table.n_out, jnp.uint8)
-            for lo, arr in segs:
-                out = jax.lax.dynamic_update_slice(out, arr, (lo,))
-            out_dev = out
-        if verify == "device":
-            from .pipeline import _verify_checksums_device
-
-            _verify_checksums_device(
-                self._buf, self._parsed, out_dev, table,
-                self._session.interpret
-                or jax.devices()[0].platform == "cpu",
-            )
+        out_dev = assemble_device_segments(self._segs, self._table.n_out)
+        _verify_dev(out_dev)
         self._out_dev = out_dev
         self._segs = None
-        self._buf = None
         return out_dev
 
 
@@ -245,7 +264,9 @@ class DecodeSession:
         except pl.BatchCapacityExceeded:
             from .api import decompress_host
 
+            # the streaming host engine fully verifies checksums itself
             ticket._out_np = decompress_host(data, self.reservation)
+            ticket._verified = True
             ticket._done.set()
             return
         if table.n_out == 0:

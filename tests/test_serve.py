@@ -80,6 +80,45 @@ class TestSessionRoundTrip:
             arr = t.result_on_device()        # then device
             assert bytes(jax.device_get(arr).tobytes()) == r
 
+    def test_result_on_device_verify_contract(self, vectors_dir):
+        # a corrupted content checksum must surface no matter how the
+        # ticket is collected: verify="device" raises immediately;
+        # verify="none" defers, but a later result() still raises
+        bad = bytearray((vectors_dir / "t100k.lz4").read_bytes())
+        bad[-1] ^= 0xFF
+        with DecodeSession(interpret=True) as s:
+            t = s.submit(bytes(bad))
+            with pytest.raises(errors.Lz4Error):
+                t.result_on_device()
+        with DecodeSession(interpret=True) as s:
+            t = s.submit(bytes(bad))
+            arr = t.result_on_device(verify="none")
+            assert arr.shape[0] == 102400     # bytes delivered unverified
+            with pytest.raises(errors.Lz4Error):
+                t.result()
+        with DecodeSession(interpret=True) as s:
+            t = s.submit(b"x")
+            with pytest.raises(ValueError):
+                t.result_on_device(verify="host")
+
+    def test_capacity_fallback_result_on_device(self, vectors_dir,
+                                                monkeypatch):
+        # BatchCapacityExceeded tickets must deliver the host-engine
+        # output through result_on_device too, not an empty array
+        import lz4tpu.pipeline as plmod
+
+        d, r = _vec(vectors_dir, "t2")
+
+        def boom(*a, **k):
+            raise plmod.BatchCapacityExceeded(1 << 40)
+
+        monkeypatch.setattr(plmod, "build_seq_table", boom)
+        import jax
+        with DecodeSession(interpret=True) as s:
+            t = s.submit(d)
+            arr = t.result_on_device()
+            assert bytes(jax.device_get(arr).tobytes()) == r
+
     def test_result_is_idempotent(self, vectors_dir):
         d, r = _vec(vectors_dir, "t2")
         with DecodeSession() as s:
