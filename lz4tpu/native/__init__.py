@@ -38,7 +38,7 @@ def _build() -> None:
         subprocess.run(
             [
                 "g++", "-O3", "-march=native", "-funroll-loops", "-shared",
-                "-fPIC", "-std=c++17", "-o", tmp_so, _SRC,
+                "-fPIC", "-std=c++17", "-pthread", "-o", tmp_so, _SRC,
             ],
             check=True,
             capture_output=True,
@@ -85,6 +85,11 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.lz4tpu_pack_dense2.restype = c.c_int64
     lib.lz4tpu_pack_dense2.argtypes = [
         u8p, c.c_int64, i32p, i32p, i32p, i32p, c.c_int64, i32p, c.c_int64,
+    ]
+    lib.lz4tpu_pack_dense2_par.restype = c.c_int64
+    lib.lz4tpu_pack_dense2_par.argtypes = [
+        u8p, c.c_int64, i32p, i32p, i32p, i32p, c.c_int64, i32p, c.c_int64,
+        c.c_int32,
     ]
     return lib
 
@@ -215,6 +220,17 @@ def scan_sequences(
     )
 
 
+def pack_threads() -> int:
+    """Worker threads for the parallel provenance resolver: the
+    LZ4TPU_PACK_THREADS env var, else the CPU count."""
+    import os
+
+    env = os.environ.get("LZ4TPU_PACK_THREADS")
+    if env:
+        return max(1, int(env))
+    return os.cpu_count() or 1
+
+
 def pack_dense2_chain(
     buf: np.ndarray,
     lit_len: np.ndarray,
@@ -222,6 +238,7 @@ def pack_dense2_chain(
     match_len: np.ndarray,
     match_off: np.ndarray,
     out: np.ndarray | None = None,
+    threads: int | None = None,
 ) -> tuple[np.ndarray, int]:
     """Per-byte provenance codes for one chain (device/mxu2.py pack).
 
@@ -230,7 +247,8 @@ def pack_dense2_chain(
     given, codes are written in place into it (it must be contiguous
     int32 with >= n_out + 16 elements; the resolver wild-writes up to
     16 words past n_out and re-zeroes them) and the returned array is
-    a view of out.
+    a view of out.  `threads` > 1 packs substep-aligned ranges in
+    parallel (bit-identical; default from pack_threads()).
     """
     c = ctypes
     i32p = c.POINTER(c.c_int32)
@@ -242,11 +260,12 @@ def pack_dense2_chain(
         code = out
         if code.size < n_out + 16:
             raise ValueError("pack_dense2 out buffer too small")
-    n = _get().lz4tpu_pack_dense2(
+    n_threads = pack_threads() if threads is None else max(1, threads)
+    n = _get().lz4tpu_pack_dense2_par(
         _u8ptr(buf), buf.size,
         lit_len.ctypes.data_as(i32p), lit_src.ctypes.data_as(i32p),
         match_len.ctypes.data_as(i32p), match_off.ctypes.data_as(i32p),
-        lit_len.size, code.ctypes.data_as(i32p), code.size,
+        lit_len.size, code.ctypes.data_as(i32p), code.size, n_threads,
     )
     if n < 0:
         raise ValueError(f"pack_dense2 failed with status {-n}")

@@ -20,6 +20,8 @@
 #include <cstdint>
 #include <cstring>
 #include <cstddef>
+#include <thread>
+#include <vector>
 
 extern "C" {
 
@@ -962,55 +964,75 @@ int64_t lz4tpu_compress_block_opt(
 // for s in the same 2 KiB substep is already final, so inheritance is
 // one copy — the per-byte generalization of the reference's
 // overlapping-match replay (lib/lz4ada.adb:893-903).
-// Branch-minimal run-level resolver. Two dominant fast paths (measured
-// on text streams: ~0.7 literal + ~4.4 match bytes per sequence, match
-// offsets usually > 2048):
+// Branch-minimal run-level resolver for output bytes [j, j_hi) of a
+// chain, starting at sequence `i0` with `skip` bytes of that sequence
+// already emitted by an earlier range.  Wild (8-wide) writes are used
+// only while j + 8 <= wild_end, so substep-aligned ranges can pack in
+// parallel: ring codes read nothing, inherit codes read only within
+// their own 2 KiB substep (which lies inside the range), and no write
+// crosses the range end.
+//
+// Two dominant fast paths (measured on text streams: ~0.7 literal +
+// ~4.4 match bytes per sequence, match offsets usually > 2048):
 //   * literals <= 8: one 8-byte load expanded to eight code words
-//     unconditionally (wild write; `cap` includes +16 slack)
 //   * off >= 2048: within any substep j - sub_base < 2048 <= off, so
 //     the whole match is a ring reference — an affine fill of
-//     consecutive mod-64Ki positions (8-wide wild for short matches)
+//     consecutive mod-64Ki positions
 // Everything else (long literals, 64 Ki wrap, off < 2048) falls to a
 // segmented path that splits at substep boundaries: a ring fill while
 // s < sub_base, then an intra-substep inherit — an overlap-replicating
 // copy of already-final codes with period `off` (doubling windows like
 // the reference's replay, lib/lz4ada.adb:893-903).
-int64_t lz4tpu_pack_dense2(
+static int64_t pack_dense2_range(
     const uint8_t* buf, int64_t buf_len,
     const int32_t* ll, const int32_t* ls,
     const int32_t* ml, const int32_t* mo,
-    int64_t n_seqs, int32_t* code, int64_t cap) {
-    int64_t j = 0;
+    int64_t n_seqs, int64_t i0, int64_t skip,
+    int64_t j, int64_t j_hi, int32_t* code, int64_t wild_end) {
     const int64_t lit_wild_lim = buf_len - 8;
-    for (int64_t i = 0; i < n_seqs; ++i) {
-        const int64_t l = ll[i];
-        const int64_t m = ml[i];
-        if (j + l + m + 16 > cap) return -1;
-        const uint8_t* lp = buf + ls[i];
-        if (l <= 8 && ls[i] <= lit_wild_lim) {
-            const uint64_t w = read64(lp);
-            for (int64_t k = 0; k < 8; ++k)
-                code[j + k] = (int32_t)((w >> (8 * k)) & 255) << 17;
-        } else {
-            for (int64_t k = 0; k < l; ++k)
-                code[j + k] = ((int32_t)lp[k]) << 17;
+    for (int64_t i = i0; i < n_seqs && j < j_hi; ++i) {
+        int64_t l = ll[i];
+        int64_t m = ml[i];
+        int64_t lit_from = 0;
+        int64_t match_from = 0;
+        if (skip > 0) {              // first sequence of a range
+            lit_from = skip < l ? skip : l;
+            match_from = skip - lit_from;
+            skip = 0;
         }
-        j += l;
-        if (m == 0) continue;
+        const uint8_t* lp = buf + ls[i];
+        int64_t lit_n = l - lit_from;
+        if (lit_n > j_hi - j) lit_n = j_hi - j;
+        if (lit_n > 0) {
+            if (lit_n <= 8 && lit_from == 0 && ls[i] <= lit_wild_lim
+                && j + 8 <= wild_end) {
+                const uint64_t w = read64(lp);
+                for (int64_t k = 0; k < 8; ++k)
+                    code[j + k] = (int32_t)((w >> (8 * k)) & 255) << 17;
+            } else {
+                for (int64_t k = 0; k < lit_n; ++k)
+                    code[j + k] = ((int32_t)lp[lit_from + k]) << 17;
+            }
+            j += lit_n;
+        }
+        if (m == 0 || j >= j_hi) continue;
         const int64_t off = mo[i] >= 1 ? mo[i] : 1;
+        int64_t mm = m - match_from;
+        if (mm > j_hi - j) mm = j_hi - j;
+        if (mm <= 0) continue;
         const int64_t s0 = j - off;
         if (s0 < 0) return -2;  // backref before chain
         const int64_t q = s0 & 0xFFFF;
-        if (off >= 2048 && q + m <= 65536) {
+        if (off >= 2048 && q + mm <= 65536) {
             const int32_t v = (int32_t)q | 0x10000;
-            if (m <= 8) {
+            if (mm <= 8 && j + 8 <= wild_end) {
                 for (int64_t k = 0; k < 8; ++k)
                     code[j + k] = v + (int32_t)k;
             } else {
-                for (int64_t k = 0; k < m; ++k)
+                for (int64_t k = 0; k < mm; ++k)
                     code[j + k] = v + (int32_t)k;
             }
-            j += m;
+            j += mm;
             continue;
         }
         if (off >= 2048) {
@@ -1018,19 +1040,19 @@ int64_t lz4tpu_pack_dense2(
             // matches longer than the ring (positions stay mod 64 Ki)
             int64_t k = 0;
             int64_t q0 = q;
-            while (k < m) {
+            while (k < mm) {
                 int64_t run = 65536 - q0;
-                if (run > m - k) run = m - k;
+                if (run > mm - k) run = mm - k;
                 const int32_t v = (int32_t)q0 | 0x10000;
                 for (int64_t t = 0; t < run; ++t)
                     code[j + k + t] = v + (int32_t)t;
                 k += run;
                 q0 = 0;
             }
-            j += m;
+            j += mm;
             continue;
         }
-        const int64_t jend = j + m;
+        const int64_t jend = j + mm;
         while (j < jend) {
             const int64_t sub_base = j & ~(int64_t)2047;
             int64_t seg_end = sub_base + 2048;
@@ -1064,6 +1086,20 @@ int64_t lz4tpu_pack_dense2(
             }
         }
     }
+    return j;
+}
+
+int64_t lz4tpu_pack_dense2(
+    const uint8_t* buf, int64_t buf_len,
+    const int32_t* ll, const int32_t* ls,
+    const int32_t* ml, const int32_t* mo,
+    int64_t n_seqs, int32_t* code, int64_t cap) {
+    int64_t n_out = 0;
+    for (int64_t i = 0; i < n_seqs; ++i) n_out += ll[i] + ml[i];
+    if (n_out + 16 > cap) return -1;
+    int64_t j = pack_dense2_range(buf, buf_len, ll, ls, ml, mo, n_seqs,
+                                  0, 0, 0, n_out, code, cap);
+    if (j < 0) return j;
     // Wild writes may have scribbled up to 16 codes past the end; the
     // caller packs into pre-zeroed padded storage, so restore zeros.
     if (j < cap) {
@@ -1071,6 +1107,71 @@ int64_t lz4tpu_pack_dense2(
         std::memset(code + j, 0, (size_t)z * sizeof(int32_t));
     }
     return j;
+}
+
+// Parallel resolver: substep-aligned ranges packed by worker threads.
+// Safe by construction (see pack_dense2_range); bit-identical to the
+// serial path.  `n_threads <= 1` falls through to the serial entry.
+int64_t lz4tpu_pack_dense2_par(
+    const uint8_t* buf, int64_t buf_len,
+    const int32_t* ll, const int32_t* ls,
+    const int32_t* ml, const int32_t* mo,
+    int64_t n_seqs, int32_t* code, int64_t cap, int32_t n_threads) {
+    int64_t n_out = 0;
+    for (int64_t i = 0; i < n_seqs; ++i) n_out += ll[i] + ml[i];
+    if (n_out + 16 > cap) return -1;
+    const int64_t n_sub = (n_out + 2047) / 2048;
+    if (n_threads <= 1 || n_sub < 4 * (int64_t)n_threads) {
+        int64_t j = pack_dense2_range(buf, buf_len, ll, ls, ml, mo,
+                                      n_seqs, 0, 0, 0, n_out, code, cap);
+        if (j < 0) return j;
+        if (j < cap) {
+            const int64_t z = (cap - j < 16) ? cap - j : 16;
+            std::memset(code + j, 0, (size_t)z * sizeof(int32_t));
+        }
+        return j;
+    }
+
+    // Range starts: substep-aligned byte positions plus, per range, the
+    // first sequence index and the bytes of it already consumed.
+    const int64_t subs_per = (n_sub + n_threads - 1) / n_threads;
+    std::vector<int64_t> r_j, r_seq, r_skip;
+    {
+        int64_t next = 0;          // next range boundary (bytes)
+        int64_t acc = 0;           // output start of sequence i
+        int64_t i = 0;
+        while (next < n_out) {
+            while (i < n_seqs && acc + ll[i] + ml[i] <= next) {
+                acc += ll[i] + ml[i];
+                ++i;
+            }
+            r_j.push_back(next);
+            r_seq.push_back(i);
+            r_skip.push_back(next - acc);
+            next += subs_per * 2048;
+        }
+    }
+    const size_t n_ranges = r_j.size();
+    std::vector<int64_t> status(n_ranges, 0);
+    std::vector<std::thread> workers;
+    for (size_t r = 0; r < n_ranges; ++r) {
+        const int64_t j_lo = r_j[r];
+        const int64_t j_hi = (r + 1 < n_ranges) ? r_j[r + 1] : n_out;
+        const int64_t wild_end = (r + 1 < n_ranges) ? j_hi : cap;
+        workers.emplace_back([=, &status] {
+            status[r] = pack_dense2_range(
+                buf, buf_len, ll, ls, ml, mo, n_seqs,
+                r_seq[r], r_skip[r], j_lo, j_hi, code, wild_end);
+        });
+    }
+    for (auto& w : workers) w.join();
+    for (size_t r = 0; r < n_ranges; ++r)
+        if (status[r] < 0) return status[r];
+    if (n_out < cap) {
+        const int64_t z = (cap - n_out < 16) ? cap - n_out : 16;
+        std::memset(code + n_out, 0, (size_t)z * sizeof(int32_t));
+    }
+    return n_out;
 }
 
 }  // extern "C"

@@ -188,6 +188,42 @@ class TestPartedDecode:
         assert parted[: table.n_out].tobytes() == payload
 
 
+class TestParallelPack:
+    def test_threads_bit_identical(self):
+        """The parallel resolver (substep-aligned ranges on worker
+        threads) must produce bit-identical codes to the serial one for
+        every engine-relevant shape, including ranges that start
+        mid-literal, mid-match, and inside multi-wrap ring fills."""
+        from lz4tpu import native
+        if not native.available():
+            pytest.skip("native engine unavailable")
+        rng = np.random.default_rng(77)
+        words = [b"aa", b"bb", b"cc", b"dd"]
+        text = b" ".join(words[int(rng.integers(0, 4))] for _ in range(60_000))
+        pat = rng.integers(0, 256, 4096, dtype=np.uint8).tobytes()
+        payloads = [
+            text,                                    # short matches
+            text[:5000] + pat * 90 + text[:5000],    # multi-wrap match
+            b"x" * 300_000,                          # off=1 inherit runs
+            (b"pqrstuv" * 50_000),                   # small-off runs
+            bytes(rng.integers(0, 256, 64, dtype=np.uint8)) + text[:200_000],
+        ]
+        import lz4tpu.pipeline as pl
+        for pi, payload in enumerate(payloads):
+            data = lz4tpu.compress(payload)
+            buf = np.frombuffer(data, np.uint8)
+            parsed = pl.parse_frames(buf)
+            t = pl.build_seq_table(buf, parsed, pl.Reservation.SZ_8_MIB, buf)
+            serial, n1 = native.pack_dense2_chain(
+                buf, t.lit_len, t.lit_src, t.match_len, t.match_off,
+                threads=1)
+            for nt in (2, 3, 7):
+                par, n2 = native.pack_dense2_chain(
+                    buf, t.lit_len, t.lit_src, t.match_len, t.match_off,
+                    threads=nt)
+                assert n1 == n2 and np.array_equal(serial, par), (pi, nt)
+
+
 class TestLongRingFills:
     def test_match_spanning_multiple_64k_wraps(self):
         """Regression: a single match longer than 128 KiB at offset >=
