@@ -135,8 +135,41 @@ def build_seq_table(
     re-run, so embedded diagnostic values match exactly).  Raises
     BatchCapacityExceeded when total output exceeds int32 coordinates
     (callers fall back to the streaming host engine).
+
+    Blocks scan independently, so multi-block streams fan the native
+    token scan across worker threads (the scan runs block-relative —
+    ctypes releases the GIL — and the global output prefix is added to
+    the per-block columns afterwards, a single vectorized pass).
     """
     from . import native
+
+    # Phase A: scan all compressed blocks, block-relative, possibly in
+    # parallel.  Results consumed in stream order below, so error
+    # ordering (first malformed block wins) is preserved.
+    comp_blocks = [
+        blk
+        for frame in parsed.frames
+        for blk in frame.blocks
+        if blk.is_compressed
+        and blk.comp_off + blk.comp_len <= _BATCH_MAX_OUT
+    ]
+
+    def _scan(blk):
+        return native.scan_sequences(
+            buf[blk.comp_off:blk.comp_off + blk.comp_len], blk.comp_off, 0
+        )
+
+    threads = native.pack_threads()
+    if len(comp_blocks) > 1 and threads > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+            max_workers=min(threads, len(comp_blocks))
+        ) as ex:
+            scans = dict(zip(map(id, comp_blocks),
+                             ex.map(_scan, comp_blocks)))
+    else:
+        scans = {id(blk): _scan(blk) for blk in comp_blocks}
 
     chunks: list[tuple[np.ndarray, ...]] = []
     spans: list[BlockSpan] = []
@@ -158,7 +191,6 @@ def build_seq_table(
                 # input coordinates (lit_src / uncompressed pseudo-seq
                 # src) are int32 too
                 raise BatchCapacityExceeded(blk.comp_off + blk.comp_len)
-            payload = buf[blk.comp_off:blk.comp_off + blk.comp_len]
             if not blk.is_compressed:
                 chunks.append(
                     (
@@ -178,11 +210,16 @@ def build_seq_table(
                 spans.append(span)
                 continue
             status, starts, ll, ls, ml, mo, total, min_reach = (
-                native.scan_sequences(payload, blk.comp_off, n_out)
+                scans[id(blk)]
             )
             if status != native.OK:
                 _oracle_rerun(data, reservation)
                 raise DataCorruption("Malformed block payload.")
+            if n_out:
+                # shift block-relative output coords to global
+                starts = starts + np.int32(n_out)
+            if min_reach < (1 << 62):   # no-match sentinel stays put
+                min_reach += n_out
             # Back-reference range check: a match may not reach before
             # the start of its frame (equivalent to the reference's
             # H_Offset < 0 check, lz4ada.adb:867-874).
