@@ -221,13 +221,17 @@ def scan_sequences(
 
 
 def pack_threads() -> int:
-    """Worker threads for the parallel provenance resolver: the
-    LZ4TPU_PACK_THREADS env var, else the CPU count."""
+    """Worker threads for the host-parallel stages (per-block token
+    scan and the provenance resolver): the LZ4TPU_PACK_THREADS env var
+    when it parses as a positive integer, else the CPU count."""
     import os
 
     env = os.environ.get("LZ4TPU_PACK_THREADS")
     if env:
-        return max(1, int(env))
+        try:
+            return max(1, int(env.strip()))
+        except ValueError:
+            pass  # a tuning knob must not take down the decode path
     return os.cpu_count() or 1
 
 

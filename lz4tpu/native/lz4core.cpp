@@ -1089,29 +1089,9 @@ static int64_t pack_dense2_range(
     return j;
 }
 
-int64_t lz4tpu_pack_dense2(
-    const uint8_t* buf, int64_t buf_len,
-    const int32_t* ll, const int32_t* ls,
-    const int32_t* ml, const int32_t* mo,
-    int64_t n_seqs, int32_t* code, int64_t cap) {
-    int64_t n_out = 0;
-    for (int64_t i = 0; i < n_seqs; ++i) n_out += ll[i] + ml[i];
-    if (n_out + 16 > cap) return -1;
-    int64_t j = pack_dense2_range(buf, buf_len, ll, ls, ml, mo, n_seqs,
-                                  0, 0, 0, n_out, code, cap);
-    if (j < 0) return j;
-    // Wild writes may have scribbled up to 16 codes past the end; the
-    // caller packs into pre-zeroed padded storage, so restore zeros.
-    if (j < cap) {
-        const int64_t z = (cap - j < 16) ? cap - j : 16;
-        std::memset(code + j, 0, (size_t)z * sizeof(int32_t));
-    }
-    return j;
-}
-
 // Parallel resolver: substep-aligned ranges packed by worker threads.
 // Safe by construction (see pack_dense2_range); bit-identical to the
-// serial path.  `n_threads <= 1` falls through to the serial entry.
+// serial path.  `n_threads <= 1` packs the whole chain on the caller.
 int64_t lz4tpu_pack_dense2_par(
     const uint8_t* buf, int64_t buf_len,
     const int32_t* ll, const int32_t* ls,
@@ -1125,6 +1105,8 @@ int64_t lz4tpu_pack_dense2_par(
         int64_t j = pack_dense2_range(buf, buf_len, ll, ls, ml, mo,
                                       n_seqs, 0, 0, 0, n_out, code, cap);
         if (j < 0) return j;
+        // Wild writes may scribble up to 16 codes past the end; the
+        // caller packs into pre-zeroed padded storage: restore zeros.
         if (j < cap) {
             const int64_t z = (cap - j < 16) ? cap - j : 16;
             std::memset(code + j, 0, (size_t)z * sizeof(int32_t));
@@ -1154,16 +1136,29 @@ int64_t lz4tpu_pack_dense2_par(
     const size_t n_ranges = r_j.size();
     std::vector<int64_t> status(n_ranges, 0);
     std::vector<std::thread> workers;
-    for (size_t r = 0; r < n_ranges; ++r) {
+    size_t spawned = 0;
+    auto run_range = [&](size_t r) {
         const int64_t j_lo = r_j[r];
         const int64_t j_hi = (r + 1 < n_ranges) ? r_j[r + 1] : n_out;
         const int64_t wild_end = (r + 1 < n_ranges) ? j_hi : cap;
-        workers.emplace_back([=, &status] {
-            status[r] = pack_dense2_range(
-                buf, buf_len, ll, ls, ml, mo, n_seqs,
-                r_seq[r], r_skip[r], j_lo, j_hi, code, wild_end);
-        });
+        const int64_t seq0 = r_seq[r];
+        const int64_t skip0 = r_skip[r];
+        status[r] = pack_dense2_range(buf, buf_len, ll, ls, ml, mo,
+                                      n_seqs, seq0, skip0, j_lo, j_hi,
+                                      code, wild_end);
+    };
+    // spawn workers for all but the last range (the caller packs that
+    // one itself); on thread exhaustion, finish the rest serially
+    try {
+        for (size_t r = 0; r + 1 < n_ranges; ++r) {
+            workers.emplace_back(run_range, r);
+            ++spawned;
+        }
+    } catch (...) {
+        // fall through: ranges [spawned, n_ranges-1) run below
     }
+    for (size_t r = spawned; r + 1 < n_ranges; ++r) run_range(r);
+    run_range(n_ranges - 1);
     for (auto& w : workers) w.join();
     for (size_t r = 0; r < n_ranges; ++r)
         if (status[r] < 0) return status[r];
@@ -1172,6 +1167,15 @@ int64_t lz4tpu_pack_dense2_par(
         std::memset(code + n_out, 0, (size_t)z * sizeof(int32_t));
     }
     return n_out;
+}
+
+int64_t lz4tpu_pack_dense2(
+    const uint8_t* buf, int64_t buf_len,
+    const int32_t* ll, const int32_t* ls,
+    const int32_t* ml, const int32_t* mo,
+    int64_t n_seqs, int32_t* code, int64_t cap) {
+    return lz4tpu_pack_dense2_par(buf, buf_len, ll, ls, ml, mo, n_seqs,
+                                  code, cap, 1);
 }
 
 }  // extern "C"

@@ -145,14 +145,19 @@ def build_seq_table(
 
     # Phase A: scan all compressed blocks, block-relative, possibly in
     # parallel.  Results consumed in stream order below, so error
-    # ordering (first malformed block wins) is preserved.
-    comp_blocks = [
-        blk
-        for frame in parsed.frames
-        for blk in frame.blocks
-        if blk.is_compressed
-        and blk.comp_off + blk.comp_len <= _BATCH_MAX_OUT
-    ]
+    # ordering (first malformed block wins) is preserved.  Blocks at or
+    # past the first coordinate-capacity violation are excluded — the
+    # loop below raises there, so scanning them would be wasted work.
+    comp_blocks = []
+    for frame in parsed.frames:
+        for blk in frame.blocks:
+            if blk.comp_off + blk.comp_len > _BATCH_MAX_OUT:
+                break
+            if blk.is_compressed:
+                comp_blocks.append(blk)
+        else:
+            continue
+        break
 
     def _scan(blk):
         return native.scan_sequences(
@@ -210,7 +215,7 @@ def build_seq_table(
                 spans.append(span)
                 continue
             status, starts, ll, ls, ml, mo, total, min_reach = (
-                scans[id(blk)]
+                scans.pop(id(blk))
             )
             if status != native.OK:
                 _oracle_rerun(data, reservation)
