@@ -128,6 +128,36 @@ def _decode_outcome(data, backend):
         return False, (type(e).__name__, e.ada_image())
 
 
+class TestStreamingChunkFuzz:
+    def test_random_chunk_granularities(self):
+        """The streaming Decompressor must produce identical output to
+        the batch decoder when fed random-sized chunks (the reference
+        proves 4096/1-byte; this covers arbitrary granularities and
+        chunk boundaries landing inside headers, size words, checksums,
+        and sequences)."""
+        rng = np.random.default_rng(99)
+        payload = (b"stream fuzz corpus " * 1500
+                   + bytes(rng.integers(0, 256, 9000, dtype=np.uint8)))
+        blob = (lz4tpu.compress(payload, block_max_code=4,
+                                block_checksum=True)
+                + lz4tpu.compress(payload[:300], frame_format="legacy")
+                + lz4tpu.compress(b""))
+        want = payload + payload[:300]
+        arr = np.frombuffer(blob, np.uint8)
+        for trial in range(6):
+            ctx = lz4tpu.Decompressor()
+            out = bytearray()
+            pos = 0
+            stall = 0
+            while pos < arr.size and stall < 8:
+                n = int(rng.integers(1, 97))
+                got, chunk = ctx.update(arr[pos:pos + n])
+                out += chunk
+                pos += got
+                stall = stall + 1 if got == 0 else 0
+            assert bytes(out) == want, trial
+
+
 class TestCorruptionParity:
     """Random corruptions: the device pipeline must match the host
     engine outcome exactly — same bytes, or same exception class and
