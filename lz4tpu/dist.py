@@ -253,6 +253,87 @@ def _balance_chains(chains, n_dev: int) -> list[list[int]]:
     return groups
 
 
+def _launch_chain_groups(table, buf: np.ndarray, mesh: Mesh,
+                         interpret: bool = False):
+    """Launch phase shared by the sharded decoders: per LOCAL device,
+    classify its chains exactly like the single-chip pipeline (sparse
+    program / dense pack / resolver) and issue everything
+    asynchronously so transfers and executions overlap across devices.
+    On a multi-host mesh each host drives only its addressable devices.
+
+    Returns (sparse_handles [(chain, device_array)], dense_handles
+    [(plan, rows_device_array)], resolve_chains [chain])."""
+    from .device import mxu2 as mx
+    from .device import sparse_decode as sp
+    from .pipeline import _chains_of, plan_decode
+
+    chains = _chains_of(table)
+    devices = list(mesh.devices.flat)
+    groups = _balance_chains(chains, len(devices))
+    my_proc = jax.process_index()
+
+    sparse_handles = []     # (chain, device_array)
+    dense_handles = []      # (plan, rows_device_array)
+    resolve_chains = []     # decoded synchronously by callers (rare)
+    for dev, g in zip(devices, groups):
+        if not g or dev.process_index != my_proc:
+            continue
+        plan = plan_decode(buf, None, table, chains=[chains[i] for i in g])
+        if plan.sparse:
+            comp_dev = jax.device_put(buf, dev)
+            for chain, prog in plan.sparse:
+                sparse_handles.append(
+                    (chain, sp.decode_sparse_device(prog, comp_dev))
+                )
+        pack = plan.dense_pack
+        if pack is not None and pack.n_sub:
+            rows, _ring = mx._decode_dense2_device(
+                jax.device_put(pack.code, dev),
+                jax.device_put(pack.scal, dev),
+                n_sub=pack.n_sub, interpret=interpret,
+            )
+            dense_handles.append((plan, rows))
+        resolve_chains.extend(plan.other)
+    return sparse_handles, dense_handles, resolve_chains
+
+
+def decode_sharded_chains_to_device(
+    table, buf: np.ndarray, mesh: Mesh, interpret: bool = False
+) -> list:
+    """Chain-parallel decode with every output left on the device that
+    decoded it: returns [(out_lo, device uint8 array of exactly chain
+    length)] — the multi-chip counterpart of decompress_to_device.
+    There is no host gather and no cross-device collective; consumers
+    feed per-device pipelines directly (single-process meshes — other
+    hosts' outputs are not addressable here).
+    """
+    import jax.numpy as jnp
+
+    from .device import mxu2 as mx
+    from .pipeline import _resolve_chain
+
+    sparse_handles, dense_handles, resolve_chains = _launch_chain_groups(
+        table, buf, mesh, interpret
+    )
+    segs = []
+    for chain, h in sparse_handles:
+        segs.append((chain.out_lo, h[: chain.out_hi - chain.out_lo]))
+    for plan, rows in dense_handles:
+        flat = rows.reshape(-1)
+        for chain, (_ci, slo, _shi, out_len) in zip(
+            plan.dense_chains, plan.dense_pack.out_spans
+        ):
+            segs.append(
+                (chain.out_lo,
+                 jax.lax.dynamic_slice(flat, (slo * mx.SUB,), (out_len,)))
+            )
+    for chain in resolve_chains:
+        segs.append(
+            (chain.out_lo, jnp.asarray(_resolve_chain(buf, table, chain)))
+        )
+    return segs
+
+
 def decode_sharded_chains(
     table, buf: np.ndarray, mesh: Mesh, interpret: bool = False
 ) -> np.ndarray:
@@ -275,42 +356,11 @@ def decode_sharded_chains(
     mesh column the same way.
     """
     from .device import mxu2 as mx
-    from .device import sparse_decode as sp
-    from .pipeline import _chains_of, _resolve_chain, plan_decode
+    from .pipeline import _resolve_chain
 
-    chains = _chains_of(table)
-    devices = list(mesh.devices.flat)
-    groups = _balance_chains(chains, len(devices))
-    my_proc = jax.process_index()
-
-    # Launch phase: per LOCAL device, classify its chains exactly like
-    # the single-chip pipeline (sparse program / dense pack / resolver)
-    # and issue everything asynchronously; fetch afterwards so
-    # transfers and executions overlap across devices.  On a multi-host
-    # mesh each host drives only its addressable devices and the host
-    # outputs merge below.
-    sparse_handles = []     # (chain, device_array)
-    dense_handles = []      # (plan, rows_device_array)
-    resolve_chains = []     # decoded synchronously below (rare)
-    for dev, g in zip(devices, groups):
-        if not g or dev.process_index != my_proc:
-            continue
-        plan = plan_decode(buf, None, table, chains=[chains[i] for i in g])
-        if plan.sparse:
-            comp_dev = jax.device_put(buf, dev)
-            for chain, prog in plan.sparse:
-                sparse_handles.append(
-                    (chain, sp.decode_sparse_device(prog, comp_dev))
-                )
-        pack = plan.dense_pack
-        if pack is not None and pack.n_sub:
-            rows, _ring = mx._decode_dense2_device(
-                jax.device_put(pack.code, dev),
-                jax.device_put(pack.scal, dev),
-                n_sub=pack.n_sub, interpret=interpret,
-            )
-            dense_handles.append((plan, rows))
-        resolve_chains.extend(plan.other)
+    sparse_handles, dense_handles, resolve_chains = _launch_chain_groups(
+        table, buf, mesh, interpret
+    )
 
     multihost = jax.process_count() > 1
     out = (np.zeros if multihost else np.empty)(table.n_out, np.uint8)

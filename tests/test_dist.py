@@ -114,3 +114,37 @@ def test_sharded_partial_meshes(vectors_dir):
     for n in (1, 2, 4):
         if len(jax.devices()) >= n:
             assert decompress_sharded(data, make_mesh(n)) == ref
+
+
+def test_chain_sharded_to_device(mesh):
+    """decode_sharded_chains_to_device: outputs stay on the devices
+    that decoded them (no host gather), segments reassemble to the
+    exact stream, and chains actually land on multiple devices."""
+    import numpy as np
+
+    from lz4tpu import frame as fr
+    from lz4tpu import pipeline as pl
+    from lz4tpu.dist import decode_sharded_chains_to_device
+
+    rng = np.random.default_rng(11)
+    parts = [
+        bytes(rng.integers(0, 256, 20_000, dtype=np.uint8))
+        if k % 2 else (b"chunk %d " % k) * 4000
+        for k in range(6)
+    ]
+    blob = b"".join(compress(p, content_checksum=False) for p in parts)
+    want = b"".join(parts)
+    buf = np.frombuffer(blob, np.uint8)
+    parsed = fr.parse_frames(buf)
+    table = pl.build_seq_table(buf, parsed, pl.Reservation.SZ_8_MIB, buf)
+
+    segs = decode_sharded_chains_to_device(table, buf, mesh,
+                                           interpret=True)
+    out = bytearray(table.n_out)
+    devices_used = set()
+    for lo, arr in segs:
+        devices_used |= {d.id for d in arr.devices()}
+        got = np.asarray(jax.device_get(arr))
+        out[lo:lo + got.size] = got.tobytes()
+    assert bytes(out) == want
+    assert len(devices_used) > 1, devices_used
