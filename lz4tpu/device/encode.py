@@ -32,8 +32,10 @@ import functools
 import numpy as np
 
 
-@functools.partial(__import__("jax").jit, static_argnames=("n_pad",))
-def _candidates_device(buf, *, n_pad: int):
+@functools.partial(
+    __import__("jax").jit, static_argnames=("n_pad", "k_cands")
+)
+def _candidates_device(buf, *, n_pad: int, k_cands: int = 1):
     import jax
     import jax.numpy as jnp
 
@@ -46,52 +48,64 @@ def _candidates_device(buf, *, n_pad: int):
     )
     pos = jnp.arange(n_pad, dtype=jnp.int32)
     g_s, p_s = jax.lax.sort((g, pos), num_keys=2)
-    prev_p = jnp.roll(p_s, 1)
-    prev_g = jnp.roll(g_s, 1)
-    cand_s = jnp.where(
-        jnp.logical_and(pos > 0, prev_g == g_s), prev_p, -1
-    )
-    # restore position order
-    _, cand = jax.lax.sort((p_s, cand_s), num_keys=1)
+    # within a same-gram run positions ascend, so the k-th previous
+    # sorted entry with an equal gram is the k-th nearest earlier
+    # occurrence — the depth-k hash chain, with zero collisions
+    cands_s = []
+    for k in range(1, k_cands + 1):
+        pk = jnp.roll(p_s, k)
+        gk = jnp.roll(g_s, k)
+        cands_s.append(
+            jnp.where(jnp.logical_and(pos >= k, gk == g_s), pk, -1)
+        )
+    # restore position order (carry all depths through one sort)
+    restored = jax.lax.sort((p_s, *cands_s), num_keys=1)
     # distance window (64 KiB) and tail guard are enforced again by the
     # emitter; pre-masking here keeps the emitter branch-predictable
-    cand = jnp.where(pos - cand <= 65535, cand, -1)
-    return cand
+    return jnp.stack([
+        jnp.where(pos - c <= 65535, c, -1) for c in restored[1:]
+    ])
 
 
-def match_candidates(data: np.ndarray) -> np.ndarray:
-    """int32[n] nearest previous same-4-gram position per position
-    (-1 = none within 64 KiB).  ``data`` may be history+block joined;
+def match_candidates(data: np.ndarray, k_cands: int = 1) -> np.ndarray:
+    """int32[k_cands, n]: the k nearest previous same-4-gram positions
+    per position (-1 = none within 64 KiB) — the depth-k hash chain,
+    computed by gram sorting.  ``data`` may be history+block joined;
     positions are into that joined buffer."""
     import jax
 
     n = int(data.size)
     if n < 8:
-        return np.full(n, -1, np.int32)
+        return np.full((k_cands, n), -1, np.int32)
     n_pad = (n + 1023) // 1024 * 1024
     buf = np.zeros(n_pad, np.uint8)
     buf[:n] = data
     cand = np.array(
         jax.device_get(
-            _candidates_device(jax.numpy.asarray(buf), n_pad=n_pad)
-        )[:n]
+            _candidates_device(jax.numpy.asarray(buf), n_pad=n_pad,
+                               k_cands=k_cands)
+        )[:, :n]
     )
     # wrapped grams at the very end can produce bogus forward refs
-    cand[max(0, n - 3):] = -1
+    cand[:, max(0, n - 3):] = -1
     return cand
 
 
+K_CANDS_DEFAULT = 8     # depth of the device-generated candidate chain
+
+
 def compress_block_device(
-    src, hist: bytes = b"", lazy: bool = True
+    src, hist: bytes = b"", lazy: bool = True,
+    k_cands: int = K_CANDS_DEFAULT,
 ) -> bytes:
     """LZ4 block compression with device-side match finding.
 
-    The TPU finds, for every position, the nearest previous position
-    with the same 4 bytes; the native emitter verifies, extends and
-    emits the token stream (with one-step lazy deferral like the host
-    hash-chain encoder).  Round-trips bit-exactly; ratio is close to
-    the host greedy encoder (same candidate definition, unbounded
-    chain depth, depth-1 selection).
+    The TPU finds, for every position, the ``k_cands`` nearest previous
+    positions with the same 4 bytes (a depth-k hash chain via gram
+    sorting, no collisions); the native emitter verifies, extends and
+    emits the token stream, keeping the longest candidate per position
+    (with one-step lazy deferral like the host hash-chain encoder).
+    Round-trips bit-exactly.
     """
     from .. import native
 
@@ -100,7 +114,7 @@ def compress_block_device(
         return b""
     hist_b = bytes(hist[-65536:]) if hist else b""
     joined = np.frombuffer(hist_b + src_b, np.uint8)
-    cand = match_candidates(joined)
+    cand = match_candidates(joined, k_cands)
     return native.compress_block_cands(
         joined, len(hist_b), len(src_b), cand, lazy=lazy
     )

@@ -495,14 +495,19 @@ def compress_sharded(
         spans.append((len(hist), len(chunk)))
 
     if n_blocks:
+        from .device.encode import K_CANDS_DEFAULT
+
         sharding = NamedSharding(mesh, P(AXIS, None))
+        # vmapped candidates come back (B, K, n): shard the block axis
+        out_sharding = NamedSharding(mesh, P(AXIS, None, None))
         batched = jax.jit(
             jax.vmap(
                 functools.partial(_candidates_device.__wrapped__,
-                                  n_pad=width_pad)
+                                  n_pad=width_pad,
+                                  k_cands=K_CANDS_DEFAULT)
             ),
             in_shardings=sharding,
-            out_shardings=sharding,
+            out_shardings=out_sharding,
         )
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
@@ -529,7 +534,7 @@ def compress_sharded(
         # its backward match extension stops at position 0, so it can
         # never walk into the zero padding before the history (which
         # would emit back-references reaching before the frame start).
-        cand = np.array(cands[b, fv:HCAP + src_len])
+        cand = np.array(cands[b, :, fv:HCAP + src_len])
         cand = np.where(cand >= fv, cand - fv, -1).astype(np.int32)
         comp = compress_block_cands(
             bufs[b, fv:], HCAP - fv, src_len, cand, lazy=True

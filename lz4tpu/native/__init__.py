@@ -80,7 +80,8 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     ]
     lib.lz4tpu_compress_block_cands.restype = c.c_int64
     lib.lz4tpu_compress_block_cands.argtypes = [
-        u8p, c.c_int64, c.c_int64, i32p, u8p, c.c_int64, c.c_int32,
+        u8p, c.c_int64, c.c_int64, i32p, c.c_int32, u8p, c.c_int64,
+        c.c_int32,
     ]
     lib.lz4tpu_pack_dense2.restype = c.c_int64
     lib.lz4tpu_pack_dense2.argtypes = [
@@ -280,14 +281,20 @@ def compress_block_cands(
     joined: np.ndarray, hist_len: int, src_len: int,
     cand: np.ndarray, lazy: bool = True,
 ) -> bytes:
-    """Emit an LZ4 block from device-generated match candidates."""
+    """Emit an LZ4 block from device-generated match candidates.
+    ``cand`` is (k, n) — the k nearest previous same-gram positions per
+    position — or (n,) for depth 1."""
     c = ctypes
     cap = src_len + src_len // 128 + 64
     dst = np.empty(cap, np.uint8)
     cand = np.ascontiguousarray(cand, np.int32)
+    if cand.ndim == 1:
+        cand = cand.reshape(1, -1)
+    if cand.shape[1] != hist_len + src_len:
+        raise ValueError("cand must cover the joined buffer")
     n = _get().lz4tpu_compress_block_cands(
         _u8ptr(joined), hist_len, src_len,
-        cand.ctypes.data_as(c.POINTER(c.c_int32)),
+        cand.ctypes.data_as(c.POINTER(c.c_int32)), cand.shape[0],
         _u8ptr(dst), cap, int(lazy),
     )
     if n < 0:

@@ -612,17 +612,19 @@ int64_t lz4tpu_compress_block(
 }
 
 // Emitter for device-generated match candidates (lz4tpu/device/encode.py):
-// cand[p] is the nearest previous position with the same 4 bytes (-1 =
-// none within 64 KiB), computed on the TPU by gram sorting. This walk
-// only verifies/extends/emits — no searching. One-step lazy deferral
-// like lz4tpu_compress_block.
+// cand is (k_cands, n) row-major; cand[k*n + p] is the (k+1)-th nearest
+// previous position with the same 4 bytes (-1 = none within 64 KiB),
+// computed on the TPU by gram sorting. This walk only verifies/extends/
+// emits, keeping the longest candidate per position — no searching.
+// One-step lazy deferral like lz4tpu_compress_block.
 int64_t lz4tpu_compress_block_cands(
     const uint8_t* base, int64_t hist_len, int64_t src_len,
-    const int32_t* cand,
+    const int32_t* cand, int32_t k_cands,
     uint8_t* dst, int64_t dst_cap, int32_t lazy) {
     if (src_len <= 0) return 0;
     const int64_t start = hist_len;
     const int64_t end = hist_len + src_len;
+    const int64_t n_all = hist_len + src_len;
     const int64_t MFLIMIT = 12;
     const int64_t MINMATCH = 4;
     const int64_t match_limit = end - 5;
@@ -631,12 +633,18 @@ int64_t lz4tpu_compress_block_cands(
     int64_t op = 0;
 
     auto match_at = [&](int64_t p, int64_t* pos_out) -> int64_t {
-        int64_t c = cand[p];
-        if (c < 0 || c + 0xFFFF < p) return 0;
-        if (read32(base + c) != read32(base + p)) return 0;  // safety
-        int64_t l = extend_match(base, c, p, MINMATCH, match_limit - p);
-        *pos_out = c;
-        return l;
+        int64_t best = 0;
+        const int64_t maxl = match_limit - p;
+        for (int32_t k = 0; k < k_cands; ++k) {
+            int64_t c = cand[(int64_t)k * n_all + p];
+            if (c < 0 || c + 0xFFFF < p) break;  // depths only get older
+            if (best > 0 && base[c + best] != base[p + best]) continue;
+            if (read32(base + c) != read32(base + p)) continue;  // safety
+            int64_t l = extend_match(base, c, p, MINMATCH, maxl);
+            if (l > best) { best = l; *pos_out = c; }
+            if (best >= maxl) break;
+        }
+        return best;
     };
 
     #define CEMIT_FAIL return -1

@@ -8,18 +8,20 @@ import lz4tpu
 from lz4tpu.device import encode as de
 
 
-def ref_candidates(data: np.ndarray) -> np.ndarray:
-    """O(n) reference: nearest previous identical 4-gram via dict."""
+def ref_candidates(data: np.ndarray, k: int = 1) -> np.ndarray:
+    """O(n*k) reference: the k nearest previous identical 4-grams."""
     n = data.size
-    out = np.full(n, -1, np.int64)
-    last: dict = {}
+    out = np.full((k, n), -1, np.int64)
+    prev: dict = {}
     d = data
     for p in range(n - 3):
         g = int(d[p]) | int(d[p + 1]) << 8 | int(d[p + 2]) << 16 \
             | int(d[p + 3]) << 24
-        if g in last and p - last[g] <= 65535:
-            out[p] = last[g]
-        last[g] = p
+        occ = prev.setdefault(g, [])
+        for depth, q in enumerate(reversed(occ[-k:])):
+            if p - q <= 65535:
+                out[depth, p] = q
+        occ.append(p)
     return out
 
 
@@ -31,7 +33,14 @@ class TestCandidates:
         got = de.match_candidates(data)
         want = ref_candidates(data)
         # positions whose gram wraps into padding are masked to -1
-        assert (got[: data.size - 3] == want[: data.size - 3]).all()
+        assert (got[0, : data.size - 3] == want[0, : data.size - 3]).all()
+
+    def test_depth_k_matches_reference(self):
+        rng = np.random.default_rng(8)
+        data = rng.integers(0, 3, 4000, dtype=np.uint8)
+        got = de.match_candidates(data, k_cands=4)
+        want = ref_candidates(data, k=4)
+        assert (got[:, : data.size - 3] == want[:, : data.size - 3]).all()
 
     def test_window_limit(self):
         # same gram 70000 apart: candidate must be masked (> 64 KiB)
@@ -40,7 +49,7 @@ class TestCandidates:
         data[70000:70004] = [1, 2, 3, 4]
         data[4:70000] = (np.arange(69996) % 251).astype(np.uint8) + 4
         got = de.match_candidates(data)
-        assert got[70000] == -1 or 70000 - got[70000] <= 65535
+        assert got[0, 70000] == -1 or 70000 - got[0, 70000] <= 65535
 
 
 class TestRoundTrip:
@@ -87,8 +96,25 @@ class TestRoundTrip:
         text = open("/root/repo/README.md", "rb").read() * 8
         dev = lz4tpu.compress(text, backend="device")
         host = lz4tpu.compress(text)
-        # depth-1 nearest-candidate vs depth-64 hash chain: allow 15%
-        assert len(dev) <= len(host) * 1.15
+        # depth-4 sorted-gram chain vs depth-64 hash chain: allow 10%
+        assert len(dev) <= len(host) * 1.10
+
+    def test_deeper_candidates_improve_ratio(self):
+        rng = np.random.default_rng(15)
+        words = [b"red", b"green", b"blue", b"cyan"]
+        payload = b" ".join(
+            words[int(rng.integers(0, 4))] for _ in range(50_000)
+        )
+        s1 = len(de.compress_block_device(payload, k_cands=1))
+        s4 = len(de.compress_block_device(payload, k_cands=4))
+        assert s4 <= s1
+        from lz4tpu.block import decode_block
+        got = decode_block(
+            np.frombuffer(de.compress_block_device(payload, k_cands=4),
+                          np.uint8),
+            len(payload),
+        )
+        assert bytes(got) == payload
 
 
 class TestShardedEncode:
