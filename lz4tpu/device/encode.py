@@ -9,17 +9,20 @@ formulation is sorting, not hashing:
 1. grams: g(p) = the 4 bytes at p as one int32 word (vector ops).
 2. sort (g, p) pairs with two keys: equal grams become adjacent,
    ordered by position.
-3. each entry's sorted predecessor with the same gram IS its nearest
-   previous 4-byte match candidate — exactly what a hash chain with
-   unbounded depth would find, with zero collisions (the key is the
-   gram itself, not a hash).
-4. a second sort by position restores output order.
+3. each entry's k-th sorted predecessor with the same gram IS its k-th
+   nearest previous 4-byte occurrence — a depth-k hash chain with zero
+   collisions (the key is the gram itself, not a hash), read off with
+   k shifted comparisons.
+4. a second sort by position restores output order (all depths carried
+   through one sort).
 
 Two 1M-element sorts cost ~2.5 ms on v5e (measured), so candidate
-generation runs at ~0.4 GB/s/chip and scales across chips per block.
-The byte-granular emission (verify, lazy-extend, token stream) stays
-on the host in C++ (native lz4tpu_compress_block_cands), consuming one
-candidate per position — O(n) with a small constant, no searching.
+generation runs at ~0.4 GB/s/chip and scales across chips per block;
+deeper chains add only rolls/compares, not sorts.  The byte-granular
+emission (verify, extend, token stream) stays on the host in C++
+(native lz4tpu_compress_block_cands), trying the K candidates per
+position and keeping the longest — O(n*K) with a small constant, no
+searching.
 
 Works on any JAX backend (pure XLA: no Pallas required), so CPU CI
 exercises the same code path.
