@@ -46,11 +46,16 @@ def decompress_to_device(data, reservation=FOR_ALL, **kw):
     return _impl(data, reservation, **kw)
 
 
-def DecodeSession(*a, **kw):
-    """Pipelined decode service (see lz4tpu.serve.DecodeSession)."""
-    from .serve import DecodeSession as _cls
+def __getattr__(name):
+    """PEP 562 lazy re-export: ``lz4tpu.DecodeSession`` IS the class in
+    lz4tpu.serve (so isinstance/identity work), imported only on first
+    touch — serve pulls in jax, which CLI error paths never need."""
+    if name == "DecodeSession":
+        from .serve import DecodeSession as _cls
 
-    return _cls(*a, **kw)
+        globals()["DecodeSession"] = _cls
+        return _cls
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 __version__ = "0.1.0"
 

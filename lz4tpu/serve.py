@@ -50,6 +50,7 @@ class DecodeTicket:
     def __init__(self, session: "DecodeSession"):
         self._session = session
         self._done = threading.Event()
+        self._release_lock = threading.Lock()
         self._released = False
         self._error: BaseException | None = None
         # set by the prep thread on success:
@@ -74,12 +75,20 @@ class DecodeTicket:
         self._done.set()
 
     # -- caller side --------------------------------------------------------
+    def _release_slot_once(self) -> None:
+        """Free the session's in-flight slot exactly once (result() and
+        result_on_device() may race from different threads; the session
+        semaphore must not be double-released)."""
+        with self._release_lock:
+            if self._released:
+                return
+            self._released = True
+        self._session._slots.release()
+
     def result(self, timeout: float | None = None) -> bytes:
         if not self._done.wait(timeout):
             raise TimeoutError("decode not finished")
-        if not self._released:      # free the session's in-flight slot
-            self._released = True
-            self._session._slots.release()
+        self._release_slot_once()
         if self._error is not None:
             raise self._error
         if self._out_np is None:
@@ -133,9 +142,7 @@ class DecodeTicket:
             )
         if not self._done.wait(timeout):
             raise TimeoutError("decode not finished")
-        if not self._released:
-            self._released = True
-            self._session._slots.release()
+        self._release_slot_once()
         if self._error is not None:
             raise self._error
         import jax
