@@ -1,0 +1,107 @@
+"""Fused-engine tests: prep + golden model vs the host engine, and the
+Pallas kernel (interpreter on CPU CI) vs both.
+
+The golden model (device/fused.golden_decode) replicates the kernel's
+expansion / patch / routing semantics in numpy; the kernel must match
+it bit-for-bit, and it must match the host engine (which the vector
+suite pins against the reference).
+"""
+
+import pathlib
+
+import numpy as np
+import pytest
+
+from lz4tpu import FOR_ALL, decompress_host
+from lz4tpu.device import fused
+from lz4tpu.frame import parse_frames
+from lz4tpu.pipeline import build_seq_table
+
+V = pathlib.Path("/root/reference/test_vectors_lz4")
+
+
+def _prep(name):
+    data = (V / f"{name}.lz4").read_bytes()
+    buf = np.frombuffer(data, np.uint8)
+    parsed = parse_frames(buf, FOR_ALL)
+    t = build_seq_table(buf, parsed, FOR_ALL, data)
+    prep = fused.prep_fused(
+        t.lit_len, t.match_len, t.match_off, t.lit_src, buf
+    )
+    return data, prep
+
+
+def _check_spans(out_flat, prep, ref):
+    off = 0
+    for (_cid, slo, _shi, n_out) in prep.out_spans:
+        seg = out_flat[slo * fused.SUB: slo * fused.SUB + n_out]
+        assert bytes(seg) == ref[off:off + n_out]
+        off += n_out
+    assert off == len(ref)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["t2", "t389", "t100k", "t300k", "concat390", "concatlegacy",
+     "hellolegacy", "b3444k"],
+)
+def test_golden_matches_host(name):
+    data, prep = _prep(name)
+    ref = decompress_host(data)
+    _check_spans(fused.golden_decode(prep), prep, ref)
+
+
+@pytest.mark.parametrize("name", ["t2", "t389", "t100k", "concat390"])
+def test_kernel_matches_host(name):
+    data, prep = _prep(name)
+    ref = decompress_host(data)
+    segs = fused.decode_fused(prep, interpret=True)
+    got = b"".join(s for _c, s in segs)
+    assert got == ref
+
+
+@pytest.mark.parametrize("name", ["a2246", "z1k", "z2841"])
+def test_overflow_chains_are_rejected(name):
+    """Chains beyond a fused budget (dense in-substep references, deep
+    in-substep chains, giant match spans) must raise FusedOverflow so
+    the planner can fall back to the host-pack engine."""
+    data = (V / f"{name}.lz4").read_bytes()
+    buf = np.frombuffer(data, np.uint8)
+    parsed = parse_frames(buf, FOR_ALL)
+    t = build_seq_table(buf, parsed, FOR_ALL, data)
+    with pytest.raises(fused.FusedOverflow):
+        fused.prep_fused(
+            t.lit_len, t.match_len, t.match_off, t.lit_src, buf
+        )
+
+
+def test_patch_budget_stats():
+    """t1111k stays within the patch budget with headroom recorded:
+    measured max 624 in-substep bytes per 4096-byte substep."""
+    _data, prep = _prep("t1111k")
+    counts = np.count_nonzero(prep.patch.reshape(prep.n_sub, -1), axis=1)
+    assert counts.max() <= fused.PATCH_MAX
+    assert prep.n_patches == counts.sum()
+
+
+def test_round_trip_via_own_encoder():
+    """Fused decode of our own encoder's output (different seq-length
+    statistics than the reference vectors)."""
+    import lz4tpu
+
+    rng = np.random.default_rng(7)
+    # compressible-but-textlike data: repeated fragments + noise
+    frags = [rng.integers(32, 127, rng.integers(5, 40),
+                          dtype=np.uint8).tobytes() for _ in range(64)]
+    blob = b"".join(frags[rng.integers(0, 64)] for _ in range(3000))
+    data = lz4tpu.compress(blob)
+    buf = np.frombuffer(data, np.uint8)
+    parsed = parse_frames(buf, FOR_ALL)
+    t = build_seq_table(buf, parsed, FOR_ALL, data)
+    try:
+        prep = fused.prep_fused(
+            t.lit_len, t.match_len, t.match_off, t.lit_src, buf
+        )
+    except fused.FusedOverflow:
+        pytest.skip("random blob exceeded fused budgets")
+    _check_spans(fused.golden_decode(prep), prep, blob)
