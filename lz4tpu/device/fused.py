@@ -10,16 +10,19 @@ O(in-substep bytes) patch records (~2-6 % of output for text).
 
 Per 4096-byte substep the kernel:
 
-1. **Expands** the sequence table to per-byte fields with sublane
-   masked sums: the seq table lives in HBM as overlapped lane-column
-   blocks (seq s -> row s%128 [+64 duplicated rows so 48-row windows
-   never wrap], lane column s//128; blocks of 32 columns at 16-column
-   stride so the per-substep window always fits).  Each 128-byte chunk
-   dynamically slices the 48 sublanes around its host-computed anchor
-   seq and reduces (start <= j < next_start) indicators against the
-   field vectors.  XLA-level gathers measure ~13 ns/element on v5e
-   (three orders of magnitude too slow) — masked sums ARE the TPU
-   gather.
+1. **Expands** the sequence table to per-byte fields with a
+   scatter-matmul + segmented prefix sum: each sequence starting in the
+   substep becomes a record carrying DELTAS of three per-byte affine
+   fields (U: literal-window affine constant, V: ring affine constant,
+   B: literal/match boundary) split into seven balanced-base-256
+   digits (each in [-128, 127] — exact in bf16).  One stacked-plane
+   bf16 matmul ([row==r_k] x [lane==l_k], digit planes stacked on M)
+   scatters all digits into the (32, 128) byte grid at once; a 2-D
+   cumsum (lane cumsum + row carry) turns the delta maps into per-byte
+   field values.  Per-chunk masked-sum expansion was 10x slower
+   (measured 3.6 us/substep — sub-vreg shapes waste the VPU); XLA
+   gathers are ~13 ns/element (1000x too slow).  The MXU is the only
+   fast scatter on this hardware.
 2. Derives each byte's **source position**: literal bytes point into a
    24-page window of the literal stream (appended to the routing
    matmul's page space), match bytes point into the 64 KiB ring
@@ -29,9 +32,8 @@ Per 4096-byte substep the kernel:
 3. Applies **patches** for bytes whose source lies in the *current*
    substep (the ring does not hold them yet): the host resolves those
    chains (measured depth <= 6 on t1111k) and the kernel scatters the
-   resolved positions with ONE stacked-plane bf16 outer-product matmul
-   ([row==r_k] x [lane==l_k] with three 8-bit value planes — bf16
-   integers are exact to 256).
+   resolved positions with the same stacked-plane matmul trick (three
+   8-bit value planes).
 4. **Routes** all 4096 bytes from the [ring | literal window] page
    space with one 3-packed one-hot bf16 matmul (weights {1,256,65536};
    sums <= 255*(1+256+65536) < 2^24 stay exact in the f32 accumulator —
@@ -40,13 +42,28 @@ Per 4096-byte substep the kernel:
    masked sum per pack slot) and splits the three 8-bit fields on the
    (1, cols) results.
 
+Field semantics (j = byte index in the substep):
+
+  literal byte:  pos17 = j + U + U_BIAS    (window space 65536..71679)
+  match byte:    pos17 = (j + V) & 0xFFFF  (ring space 0..65535)
+  is_lit      =  j < B
+
+with U = SUB + (litpos_s - window_base) - start_rel_s (bounded in
+(0, 16384) by the window construction), V = (sub_base - mo_s) mod 64Ki,
+B = clip(start_rel_s + lit_len_s, 0, 8191).
+
+Record packing (two int32 streams; digits stored biased by +128, the
+dV carry digit by +4):
+
+  rec0 = pos12 | (dU0)<<12 | (dU1)<<20 | (dV2)<<28
+  rec1 = (dV0) | (dV1)<<8 | (dB0)<<16 | (dB1)<<24
+
 The routing matrix is a (280, 256) persistent scratch: rows 0..255 the
 64 KiB history ring (written wrap-free — 16 rows/substep divides 256),
 rows 256..279 the per-substep literal window (refreshed each substep;
 window start slack <= 2047 B + consumed literals <= 4096 B < 24 pages,
-a hard bound).  Chains exceeding a budget (PATCH_MAX in-substep bytes
-per substep, >4096 sequences per substep window) raise FusedOverflow
-and fall back to the host-pack engine.
+a hard bound).  Chains exceeding PATCH_MAX in-substep bytes per substep
+raise FusedOverflow and fall back to the host-pack engine.
 """
 
 from __future__ import annotations
@@ -67,30 +84,28 @@ COLS = 1408                # matmul columns (lane-aligned slot stride;
                            # [2816,4096) — the third is short)
 CHUNK = 128
 NCHUNK = SUB // CHUNK      # 32
-SEQROWS = 192              # 128 rows + 64 duplicated from the next col
-SEQBLK = 32                # seq-block lane columns (stride 16)
-SEQSTRIDE = 16
+SEQ_MAX = 1088             # seq records per substep (>= SUB/4 + slack)
+NPLANES = 7                # digit planes: dU0,dU1,dV0,dV1,dV2,dB0,dB1
 PATCH_MAX = 768            # in-substep patch budget per substep
 LITWIN_Q = 4096            # literal window stride (bytes; blocks 8 KiB)
 TAG = 1 << 17              # patch marker above the 17-bit position space
 SENTINEL = (1 << 31) - 1
+U_BIAS = 65536 - SUB       # literal pos17 = j + U + U_BIAS
 
 
 @dataclasses.dataclass
 class FusedPrep:
     """Device-ready inputs for the fused kernel (one or more chains)."""
 
-    seqblk: np.ndarray     # int32 (n_blk, 4, SEQROWS, SEQBLK) fields:
-                           #   0=start 1=lit_len 2=match_off 3=litpos
+    seqrec: np.ndarray     # int32 (n_sub, 2, 8, SEQ_MAX//8) records
     lits: np.ndarray       # uint8 (n_win, 32, 256) overlapped windows
-    colbase: np.ndarray    # int32 [n_sub] seq block index
     winq: np.ndarray       # int32 [n_sub] literal window index
-    scal: np.ndarray       # int32 [n_sub, 4]: ring row, sub_base, wo, wabs
-    anchors: np.ndarray    # int32 [n_sub, NCHUNK] chunk anchor (block-rel)
+    scal: np.ndarray       # int32 [n_sub, 8]:
+                           #   ring row, wo, wabs, U0, V0, B0, 0, 0
     patch: np.ndarray      # int32 [n_sub, 8, PATCH_MAX//8] records
-    patch_t: np.ndarray    # int32 [n_sub, PATCH_MAX//8, 8] transposed
     n_sub: int
     n_patches: int
+    n_seq_recs: int
     out_spans: list        # [(chain_id, sub_lo, sub_hi, out_len)]
 
 
@@ -104,6 +119,17 @@ def _first_seq(starts: np.ndarray, positions) -> np.ndarray:
     return np.maximum(
         np.searchsorted(starts, positions, side="right") - 1, 0
     ).astype(np.int64)
+
+
+def _digits256(x: np.ndarray, n: int):
+    """Balanced base-256 digits d_k in [-128, 127] plus the remaining
+    carry: x = sum d_k * 256^k + carry * 256^n."""
+    digits = []
+    for _ in range(n):
+        d = ((x + 128) & 255) - 128
+        digits.append(d)
+        x = (x - d) >> 8
+    return digits, x
 
 
 def _resolve_patches(pst, pll, pmo, pli, positions, sub_base):
@@ -136,6 +162,36 @@ def _resolve_patches(pst, pll, pmo, pli, positions, sub_base):
     return out
 
 
+def _group_scatter(sub_i, recs, n_sub, cap, what):
+    """Group per-record rows by substep into (n_sub, cap) slot arrays."""
+    counts = np.bincount(sub_i, minlength=n_sub)
+    if counts.max() > cap:
+        raise FusedOverflow(
+            f"{int(counts.max())} {what} per substep (budget {cap})"
+        )
+    order = np.argsort(sub_i, kind="stable")
+    # slot[k] is the within-substep slot of the k-th SORTED record
+    slot = np.arange(sub_i.size) - np.repeat(
+        np.cumsum(counts) - counts, counts
+    )
+    outs = []
+    for r in recs:
+        flat = np.zeros((n_sub, cap), np.int64)
+        flat[sub_i[order], slot] = r[order]
+        outs.append(flat)
+    return outs
+
+
+def _decode_records(r0, r1):
+    """Record streams -> (pos12, dU, dV, dB); numpy or jax arrays."""
+    pos12 = r0 & 0xFFF
+    dU = (((r0 >> 12) & 255) - 128) + ((((r0 >> 20) & 255) - 128) << 8)
+    dV = (((r1 >> 0) & 255) - 128) + ((((r1 >> 8) & 255) - 128) << 8) \
+        + ((((r0 >> 28) & 7) - 4) << 16)
+    dB = (((r1 >> 16) & 255) - 128) + ((((r1 >> 24) & 255) - 128) << 8)
+    return pos12, dU, dV, dB
+
+
 def prep_fused(
     lit_len: np.ndarray,
     match_len: np.ndarray,
@@ -152,7 +208,7 @@ def prep_fused(
     if chain_ranges is None:
         chain_ranges = [(0, lit_len.size)]
 
-    # ---- pass 1: per-chain metadata ---------------------------------
+    # ---- pass 1: per-chain literal streams --------------------------
     chain_meta = []
     lit_parts = []
     lit_acc = 0
@@ -185,16 +241,14 @@ def prep_fused(
     lits_flat = (np.concatenate(lit_parts) if lit_parts
                  else np.zeros(0, np.uint8))
     n_win = max(1, -(-max(1, lits_flat.size) // LITWIN_Q))
+    nst = max(n_sub_total, 1)
 
-    # ---- pass 2: per-substep records + patches ----------------------
-    scal = np.zeros((max(n_sub_total, 1), 4), np.int32)
-    colbase = np.zeros(max(n_sub_total, 1), np.int32)
-    winq = np.zeros(max(n_sub_total, 1), np.int32)
-    anchors = np.zeros((max(n_sub_total, 1), NCHUNK), np.int32)
-    all_sub_i, all_rec = [], []
-    fstart_cols, fll_cols, fmo_cols, flit_cols = [], [], [], []
+    # ---- pass 2: per-substep scalars, seq records, patches ----------
+    scal = np.zeros((nst, 8), np.int32)
+    winq = np.zeros(nst, np.int32)
+    all_rec_sub, all_rec0, all_rec1 = [], [], []
+    all_pat_sub, all_pat = [], []
     out_spans = []
-    col_off = 0
     for m in chain_meta:
         cid, sub0, n_sub_c = m["cid"], m["sub0"], m["n_sub"]
         out_spans.append((cid, sub0, sub0 + n_sub_c, m["n_out"]))
@@ -204,55 +258,70 @@ def prep_fused(
                                   m["litpos"])
         S = ll.size
         n_out = m["n_out"]
-        # padded per-seq vectors with two sentinel rows (so the
-        # next-start shift and ownership of the pad tail are defined)
         pst = np.concatenate([starts[:-1], [n_out], [np.int64(SENTINEL)]])
         pll = np.concatenate([ll, [0, 0]])
         pmo = np.concatenate([mo, [1, 1]])
         pli = np.concatenate([litpos[:-1], [litpos[-1], litpos[-1]]])
 
-        # lane-column layout of this chain's seqs
-        cols_c = -(-(S + 2) // 128)
-        def col_layout(vec, pad):
-            padv = np.full(cols_c * 128, pad, np.int64)
-            padv[: vec.size] = vec
-            return padv.reshape(cols_c, 128).T       # (128, cols_c)
-        fstart_cols.append(col_layout(pst, SENTINEL))
-        fll_cols.append(col_layout(pll, 0))
-        fmo_cols.append(col_layout(pmo, 1))
-        flit_cols.append(col_layout(pli, pli[-1]))
-
         sub_ids = np.arange(n_sub_c, dtype=np.int64)
         sub_starts = sub_ids * SUB
         s0 = _first_seq(pst, sub_starts)
-        blk = (col_off + s0 // 128) // SEQSTRIDE
-        colbase[sub0:sub0 + n_sub_c] = blk
-        blk_first_seq = (blk * SEQSTRIDE - col_off) * 128
-
-        cpos = (sub_starts[:, None]
-                + np.arange(NCHUNK, dtype=np.int64)[None, :] * CHUNK)
-        a = _first_seq(pst, cpos.reshape(-1)).reshape(n_sub_c, NCHUNK)
-        a_rel = a - blk_first_seq[:, None]
-        if a_rel.size and (a_rel.min() < 0
-                           or a_rel.max() >= SEQBLK * 128 - 64):
-            raise FusedOverflow("seq window overflow")
-        anchors[sub0:sub0 + n_sub_c] = a_rel.astype(np.int32)
-
-        # literal window per substep
+        # literal window per substep: first literal-stream byte consumed
         local0 = sub_starts - pst[s0]
         consumed = pli[s0] + np.minimum(np.maximum(local0, 0), pll[s0])
         wq = np.minimum(consumed // LITWIN_Q, n_win - 1)
         wo = ((consumed - wq * LITWIN_Q) >> 8) & ~np.int64(7)
         wabs = wq * (LITWIN_Q >> 8) + wo
+        wb = wabs << 8
         winq[sub0:sub0 + n_sub_c] = wq
         scal[sub0:sub0 + n_sub_c, 0] = (sub_ids * (SUB // ROWB)) % RPAGES
-        scal[sub0:sub0 + n_sub_c, 1] = sub_starts
-        scal[sub0:sub0 + n_sub_c, 2] = wo
-        scal[sub0:sub0 + n_sub_c, 3] = wabs
+        scal[sub0:sub0 + n_sub_c, 1] = wo
+        scal[sub0:sub0 + n_sub_c, 2] = wabs
+
+        # carry values: fields of the seq owning the last byte BEFORE
+        # each substep (clipped — only read until the first record)
+        cs = _first_seq(pst, np.maximum(sub_starts - 1, 0))
+        u0 = np.clip(SUB + (pli[cs] - wb) - (pst[cs] - sub_starts),
+                     0, 16383)
+        v0 = (sub_starts - pmo[cs]) & 0xFFFF
+        b0 = np.clip(pst[cs] + pll[cs] - sub_starts, 0, 8191)
+        scal[sub0:sub0 + n_sub_c, 3] = u0
+        scal[sub0:sub0 + n_sub_c, 4] = v0
+        scal[sub0:sub0 + n_sub_c, 5] = b0
+
+        # ---- per-seq records (zero-output sequences dropped) --------
+        sizes_s = pst[1:S + 1] - pst[:S]
+        val = np.where(sizes_s > 0)[0]
+        if val.size:
+            st_v = pst[val]
+            sub_i = st_v // SUB
+            pos12 = st_v - sub_i * SUB
+            U = SUB + (pli[val] - wb[sub_i]) - pos12
+            if U.min() <= 0 or U.max() >= 16384:
+                raise FusedOverflow("literal affine constant range")
+            V = (sub_i * SUB - pmo[val]) & 0xFFFF
+            B = np.clip(pos12 + pll[val], 0, 8191)
+            same = np.zeros(val.size, bool)
+            same[1:] = sub_i[1:] == sub_i[:-1]
+            pU = np.where(same, np.roll(U, 1), u0[sub_i])
+            pV = np.where(same, np.roll(V, 1), v0[sub_i])
+            pB = np.where(same, np.roll(B, 1), b0[sub_i])
+            (du0, du1), cu = _digits256(U - pU, 2)
+            (dv0, dv1), cv = _digits256(V - pV, 2)
+            (db0, db1), cb = _digits256(B - pB, 2)
+            if (cu != 0).any() or (cb != 0).any() or (np.abs(cv) > 3).any():
+                raise FusedOverflow("field delta exceeds digit range")
+            rec0 = (pos12 | ((du0 + 128) << 12) | ((du1 + 128) << 20)
+                    | ((cv + 4) << 28))
+            rec1 = ((dv0 + 128) | ((dv1 + 128) << 8)
+                    | ((db0 + 128) << 16) | ((db1 + 128) << 24))
+            all_rec_sub.append(sub0 + sub_i)
+            all_rec0.append(rec0)
+            all_rec1.append(rec1)
 
         # ---- in-substep patches (vectorized over sequences) ---------
-        m0 = pst[:S] + ll              # match span start per seq
-        m1 = pst[1:S + 1]              # match span end (= next start)
+        m0 = pst[:S] + ll
+        m1 = pst[1:S + 1]
         idx = np.where((mo < SUB) & (m1 > m0))[0]
         pos_parts = []
         cur_lo, cur_mo, cur_hi = m0[idx], mo[idx], m1[idx]
@@ -279,48 +348,17 @@ def prep_fused(
             sbp = (pos // SUB) * SUB
             res = _resolve_patches(pst, pll, pmo, pli, pos, sbp)
             sub_i = pos // SUB
-            wb = wabs[sub_i] << 8
-            lit_rel = (-res - 1) - wb
+            pwb = wb[sub_i]
+            lit_rel = (-res - 1) - pwb
             is_l = res < 0
             if is_l.any() and (lit_rel[is_l].min() < 0
                                or lit_rel[is_l].max() >= WPAGES * 256):
                 raise FusedOverflow("patch literal outside window")
             pos17 = np.where(is_l, 65536 + lit_rel, res)
-            rec = ((pos - sub_i * SUB) << 18) | pos17 | TAG
-            all_sub_i.append(sub0 + sub_i)
-            all_rec.append(rec)
+            all_pat_sub.append(sub0 + sub_i)
+            all_pat.append(((pos - sub_i * SUB) << 18) | pos17 | TAG)
 
-        col_off += cols_c
-        col_off = -(-col_off // SEQSTRIDE) * SEQSTRIDE
-
-    # ---- assemble global column arrays + overlapped blocks ----------
-    C = -(-max(col_off, SEQSTRIDE) // SEQSTRIDE) * SEQSTRIDE + SEQSTRIDE
-    def assemble(cols_list, pad):
-        g = np.full((SEQROWS, C), pad, np.int64)
-        off = 0
-        for block in cols_list:
-            cc = block.shape[1]
-            g[:128, off:off + cc] = block
-            if cc > 1:
-                g[128:, off:off + cc - 1] = block[:64, 1:]
-            g[128:, off + cc - 1] = pad
-            off += cc
-            off = -(-off // SEQSTRIDE) * SEQSTRIDE
-        return g
-    f_start = assemble(fstart_cols, SENTINEL)
-    f_ll = assemble(fll_cols, 0)
-    f_mo = assemble(fmo_cols, 1)
-    f_lit = assemble(flit_cols, 0)
-    n_blk = C // SEQSTRIDE - 1
-    seqblk = np.zeros((max(n_blk, 1), 4, SEQROWS, SEQBLK), np.int32)
-    for b in range(n_blk):
-        sl = slice(b * SEQSTRIDE, b * SEQSTRIDE + SEQBLK)
-        seqblk[b, 0] = np.minimum(f_start[:, sl], SENTINEL)
-        seqblk[b, 1] = np.minimum(f_ll[:, sl], SENTINEL)
-        seqblk[b, 2] = f_mo[:, sl]
-        seqblk[b, 3] = np.minimum(f_lit[:, sl], SENTINEL)
-
-    # literal stream as overlapped 8 KiB windows at 4 KiB stride
+    # ---- literal stream as overlapped 8 KiB windows -----------------
     lit_pad = np.zeros(n_win * LITWIN_Q + LITWIN_Q, np.uint8)
     lit_pad[: lits_flat.size] = lits_flat
     wins = np.zeros((n_win, 32, 256), np.uint8)
@@ -329,35 +367,31 @@ def prep_fused(
             32, 256
         )
 
-    # patch blocks (grouped per substep)
-    patch = np.zeros((max(n_sub_total, 1), 8, PATCH_MAX // 8), np.int32)
+    # ---- grouped record blocks --------------------------------------
+    n_seq_recs = 0
+    seqrec = np.zeros((nst, 2, 8, SEQ_MAX // 8), np.int32)
+    if all_rec0:
+        sub_i = np.concatenate(all_rec_sub)
+        r0 = np.concatenate(all_rec0)
+        r1 = np.concatenate(all_rec1)
+        n_seq_recs = r0.size
+        g0, g1 = _group_scatter(sub_i, [r0, r1], nst, SEQ_MAX,
+                                "seq records")
+        seqrec[:, 0] = g0.reshape(nst, 8, SEQ_MAX // 8)
+        seqrec[:, 1] = g1.reshape(nst, 8, SEQ_MAX // 8)
     n_patches = 0
-    if all_rec:
-        sub_i = np.concatenate(all_sub_i)
-        rec = np.concatenate(all_rec).astype(np.int64)
+    patch = np.zeros((nst, 8, PATCH_MAX // 8), np.int32)
+    if all_pat:
+        sub_i = np.concatenate(all_pat_sub)
+        rec = np.concatenate(all_pat)
         n_patches = rec.size
-        counts = np.bincount(sub_i, minlength=n_sub_total)
-        if counts.max() > PATCH_MAX:
-            raise FusedOverflow(
-                f"{int(counts.max())} in-substep patches "
-                f"(budget {PATCH_MAX})"
-            )
-        order = np.argsort(sub_i, kind="stable")
-        slot = np.arange(n_patches) - np.repeat(
-            np.cumsum(counts) - counts, counts
-        )
-        flat = np.zeros((max(n_sub_total, 1), PATCH_MAX), np.int64)
-        flat[sub_i[order], slot] = rec[order]
-        patch = flat.reshape(-1, 8, PATCH_MAX // 8).astype(np.uint32) \
-                    .view(np.int32)
-    patch_t = np.ascontiguousarray(patch.transpose(0, 2, 1))
+        (g,) = _group_scatter(sub_i, [rec], nst, PATCH_MAX, "patches")
+        patch = g.reshape(nst, 8, PATCH_MAX // 8).astype(np.int32)
 
     return FusedPrep(
-        seqblk=seqblk, lits=wins,
-        colbase=colbase[:max(n_sub_total, 1)],
-        winq=winq, scal=scal, anchors=anchors,
-        patch=patch, patch_t=patch_t,
-        n_sub=n_sub_total, n_patches=n_patches, out_spans=out_spans,
+        seqrec=seqrec, lits=wins, winq=winq, scal=scal, patch=patch,
+        n_sub=n_sub_total, n_patches=n_patches, n_seq_recs=n_seq_recs,
+        out_spans=out_spans,
     )
 
 
@@ -368,8 +402,8 @@ def prep_fused(
 
 def golden_decode(prep: FusedPrep) -> np.ndarray:
     """Reference implementation of the kernel's per-substep math —
-    identical field expansion, patch override and source-position
-    semantics; byte values are read directly instead of via matmul."""
+    identical record decoding, scatter + prefix fill, patch override
+    and source-position semantics; byte values read directly."""
     ring = np.zeros(65536, np.uint8)
     lit_flat = np.zeros((prep.lits.shape[0] + 1) * LITWIN_Q, np.uint8)
     for w in range(prep.lits.shape[0]):
@@ -379,43 +413,35 @@ def golden_decode(prep: FusedPrep) -> np.ndarray:
     out = np.zeros(prep.n_sub * SUB, np.uint8)
     chain_start = {slo for (_c, slo, shi, _n) in prep.out_spans
                    if shi > slo}
+    jrel = np.arange(SUB, dtype=np.int64)
     for i in range(prep.n_sub):
         if i in chain_start:
             ring[:] = 0
-        sub_base = int(prep.scal[i, 1])
-        wabs = int(prep.scal[i, 3])
+        wabs = int(prep.scal[i, 2])
         win = lit_flat[wabs * 256: wabs * 256 + WPAGES * 256]
+        u0, v0, b0 = (int(prep.scal[i, 3]), int(prep.scal[i, 4]),
+                      int(prep.scal[i, 5]))
+        r0 = prep.seqrec[i, 0].reshape(-1).astype(np.int64)
+        r1 = prep.seqrec[i, 1].reshape(-1).astype(np.int64)
+        live = r0 != 0
+        pos12, dU, dV, dB = _decode_records(r0, r1)
+        dmapU = np.zeros(SUB, np.int64)
+        dmapV = np.zeros(SUB, np.int64)
+        dmapB = np.zeros(SUB, np.int64)
+        np.add.at(dmapU, pos12[live], dU[live])
+        np.add.at(dmapV, pos12[live], dV[live])
+        np.add.at(dmapB, pos12[live], dB[live])
+        U = u0 + np.cumsum(dmapU)
+        V = v0 + np.cumsum(dmapV)
+        B = b0 + np.cumsum(dmapB)
+        is_lit = jrel < B
+        pos17 = np.where(is_lit, jrel + U + U_BIAS,
+                         (jrel + V) & 0xFFFF)
         pv = np.zeros(SUB, np.int64)
-        recs = prep.patch[i].reshape(-1).view(np.uint32).astype(np.int64)
+        recs = prep.patch[i].reshape(-1).astype(np.int64)
         for r in recs[recs != 0]:
             pv[int(r) >> 18] = int(r) & 0x3FFFF
-        cb = int(prep.colbase[i])
-        pos17 = np.zeros(SUB, np.int64)
-        for c in range(NCHUNK):
-            a_rel = int(prep.anchors[i, c])
-            lane = a_rel >> 7
-            rs = (a_rel & 127) & ~7
-            rows = slice(rs, rs + 48)
-            st = prep.seqblk[cb, 0, rows, lane].astype(np.int64)
-            llv = prep.seqblk[cb, 1, rows, lane].astype(np.int64)
-            mov = prep.seqblk[cb, 2, rows, lane].astype(np.int64)
-            liv = prep.seqblk[cb, 3, rows, lane].astype(np.int64)
-            nxt = np.concatenate([st[1:], [SENTINEL]])
-            jj = sub_base + c * CHUNK + np.arange(CHUNK, dtype=np.int64)
-            ind = ((st[:, None] <= jj[None, :])
-                   & (nxt[:, None] > jj[None, :])).astype(np.int64)
-            s_f = (ind * st[:, None]).sum(0)
-            l_f = (ind * llv[:, None]).sum(0)
-            m_f = (ind * mov[:, None]).sum(0)
-            li_f = (ind * liv[:, None]).sum(0)
-            local = jj - s_f
-            is_lit = local < l_f
-            ringp = (jj - m_f) & 0xFFFF
-            winp = 65536 + (li_f + local - (wabs << 8))
-            p17 = np.where(is_lit, winp, ringp)
-            pvc = pv[c * CHUNK:(c + 1) * CHUNK]
-            p17 = np.where(pvc >= TAG, pvc - TAG, p17)
-            pos17[c * CHUNK:(c + 1) * CHUNK] = p17
+        pos17 = np.where(pv >= TAG, pv - TAG, pos17)
         vals = np.where(
             pos17 >= 65536,
             win[np.clip(pos17 - 65536, 0, WPAGES * 256 - 1)],
@@ -433,7 +459,11 @@ def golden_decode(prep: FusedPrep) -> np.ndarray:
 # Pallas kernel
 # ---------------------------------------------------------------------------
 
-def _make_kernel():
+def _make_kernel(ablate: frozenset = frozenset()):
+    """ablate is an internal perf-ablation knob (exp/ harnesses only):
+    'expand' short-circuits the record scatter+fill, 'patch' the patch
+    matmul, 'route' the routing matmul+select.  Production callers
+    never pass it; ablated kernels produce wrong bytes by design."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -450,135 +480,186 @@ def _make_kernel():
         pad = jnp.full((1, width - v.shape[1]), fill, v.dtype)
         return jnp.concatenate([v, pad], axis=1)
 
-    def kern(cb_ref, wq_ref, seq_ref, lit_ref, scal_ref, anch_ref,
-             patch_ref, ring_in_ref,
-             out_ref, ring_out_ref, kmat):
+    def _cum2d(x):
+        """Row-major 2-D prefix sum over the (NCHUNK, CHUNK) byte grid:
+        lane cumsum within rows plus a running row carry (log-shift
+        adds — Mosaic has no cumsum primitive)."""
+        zeros = functools.partial(jnp.zeros, dtype=x.dtype)
+        c = x
+        k = 1
+        while k < CHUNK:                     # inclusive lane prefix
+            c = c + jnp.concatenate(
+                [zeros((NCHUNK, k)), c[:, :CHUNK - k]], axis=1)
+            k <<= 1
+        s = x
+        k = 1
+        while k < CHUNK:                     # inclusive lane suffix
+            s = s + jnp.concatenate(
+                [s[:, k:], zeros((NCHUNK, k))], axis=1)
+            k <<= 1
+        m = c + s - x                        # row total, all lanes
+        q = m
+        k = 1
+        while k < NCHUNK:                    # inclusive sublane prefix
+            q = q + jnp.concatenate(
+                [zeros((k, CHUNK)), q[:NCHUNK - k]], axis=0)
+            k <<= 1
+        return c + q - m                     # c + exclusive row carry
+
+    def kern(wq_ref, seqrec_ref, lit_ref, scal_ref, patch_ref,
+             ring_in_ref, out_ref, ring_out_ref, kmat, pscr):
         i = pl.program_id(0)
 
         @pl.when(i == 0)
         def _():
             kmat[0:RPAGES, :] = ring_in_ref[...]
 
-        sub_base = scal_ref[i % 8, 1]
-        wo = scal_ref[i % 8, 2]
-        wabs = scal_ref[i % 8, 3]
-
+        wo = scal_ref[i % 8, 1]
         # literal window pages -> routing rows 256..279 (u8 -> i32 ->
         # bf16: Mosaic has no direct u8->bf16 cast)
         win = lit_ref[0, pl.ds(pl.multiple_of(wo, 8), WPAGES), :]
         kmat[RPAGES:KPAGES, :] = win.astype(jnp.int32).astype(jnp.bfloat16)
 
-        # ---- patch scatter: one stacked-plane bf16 outer product ----
-        prec = jnp.concatenate(
-            [patch_ref[0, r:r + 1, :] for r in range(8)], axis=1
-        )                                        # (1, PATCH_MAX)
-        pos12 = prec >> 18                       # records are < 2^31
-        code18 = prec & 0x3FFFF
-        r_k = pos12 >> 7
-        hit = (jax.lax.broadcasted_iota(
-            jnp.int32, (NCHUNK, PATCH_MAX), 0) == r_k).astype(jnp.int32)
-        planes = [code18 & 255, (code18 >> 8) & 255, code18 >> 16]
-        A = jnp.concatenate(
-            [(hit * p).astype(jnp.bfloat16) for p in planes], axis=0
-        )                                        # (3*NCHUNK, PATCH_MAX)
-        # lane-major one-hot of the patch lanes; the MXU contracts the
-        # patch dimension on BOTH operands (no transpose materialized)
-        l_k = pos12 & 127                        # (1, PATCH_MAX)
-        B = (jax.lax.broadcasted_iota(
-            jnp.int32, (CHUNK, PATCH_MAX), 0) == l_k).astype(jnp.bfloat16)
-        psum = jax.lax.dot_general(
-            A, B, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.int32)                      # (3*NCHUNK, 128)
-        pv = (psum[0:NCHUNK] + (psum[NCHUNK:2 * NCHUNK] << 8)
-              + (psum[2 * NCHUNK:] << 16))       # (NCHUNK, 128)
-
-        # ---- expansion: per-chunk sublane masked sums ----
-        iota_lane = jax.lax.broadcasted_iota(
-            jnp.int32, (48, SEQBLK), 1)
-        iota_chunk = jax.lax.broadcasted_iota(
-            jnp.int32, (NCHUNK, CHUNK), 0)
-        iota128 = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-        pos_parts = []
-        for c in range(NCHUNK):
-            a_rel = anch_ref[i % 8, c]
-            lane = a_rel >> 7
-            rs = (a_rel & 127) & ~7
-            lane_m = iota_lane == lane
-            fld = []
-            for f in range(4):
-                blk = seq_ref[0, f, pl.ds(pl.multiple_of(rs, 8), 48), :]
-                fld.append(jnp.sum(
-                    jnp.where(lane_m, blk, 0), axis=1, keepdims=True
-                ))                               # (48, 1)
-            st, llv, mov, liv = fld
-            nxt = jnp.concatenate(
-                [st[1:], jnp.full((1, 1), SENTINEL, jnp.int32)], axis=0
+        # ---- seq-record scatter: stacked digit planes, one matmul ----
+        if "expand" in ablate:
+            pos17g = (jax.lax.broadcasted_iota(
+                jnp.int32, (NCHUNK, CHUNK), 0) * CHUNK
+                + jax.lax.broadcasted_iota(
+                    jnp.int32, (NCHUNK, CHUNK), 1)) & 0xFFFF
+        else:
+            r0 = jnp.concatenate(
+                [seqrec_ref[0, 0, r:r + 1, :] for r in range(8)], axis=1
+            )                                    # (1, SEQ_MAX)
+            r1 = jnp.concatenate(
+                [seqrec_ref[0, 1, r:r + 1, :] for r in range(8)], axis=1
             )
-            jj = sub_base + c * CHUNK + iota128  # (1, 128)
-            ind = jnp.logical_and(st <= jj, nxt > jj)
-            s_f = jnp.sum(jnp.where(ind, st, 0), axis=0, keepdims=True)
-            l_f = jnp.sum(jnp.where(ind, llv, 0), axis=0, keepdims=True)
-            m_f = jnp.sum(jnp.where(ind, mov, 0), axis=0, keepdims=True)
-            li_f = jnp.sum(jnp.where(ind, liv, 0), axis=0, keepdims=True)
-            local = jj - s_f
-            ringp = (jj - m_f) & 0xFFFF
-            winp = 65536 + (li_f + local - (wabs << 8))
-            p17 = jnp.where(local < l_f, winp, ringp)
-            # extract patch row c with a masked sum (NOT pv[c:c+1] — a
-            # sublane slice would give the 32 chunk results 32 distinct
-            # sublane offsets, which Mosaic cannot re-concatenate)
-            pvc = jnp.sum(
-                jnp.where(iota_chunk == c, pv, 0), axis=0, keepdims=True
-            )
-            p17 = jnp.where(pvc >= TAG, pvc - TAG, p17)
-            pos_parts.append(p17)
-        pos17 = jnp.concatenate(pos_parts, axis=1)   # (1, SUB)
+            live = r0 != 0                       # cv+4 in [1,7]: real
+            pos12 = r0 & 0xFFF                   # records are nonzero
+            planes = [
+                ((r0 >> 12) & 255) - 128,        # dU0
+                ((r0 >> 20) & 255) - 128,        # dU1
+                (r1 & 255) - 128,                # dV0
+                ((r1 >> 8) & 255) - 128,         # dV1
+                ((r0 >> 28) & 7) - 4,            # dV2 (carry digit)
+                ((r1 >> 16) & 255) - 128,        # dB0
+                ((r1 >> 24) & 255) - 128,        # dB1
+            ]
+            r_s = pos12 >> 7
+            l_s = pos12 & 127
+            hit = (jax.lax.broadcasted_iota(
+                jnp.int32, (NCHUNK, SEQ_MAX), 0) == r_s).astype(jnp.int32)
+            A = jnp.concatenate(
+                [(hit * jnp.where(live, p, 0)).astype(jnp.bfloat16)
+                 for p in planes], axis=0
+            )                                    # (7*NCHUNK, SEQ_MAX)
+            B = (jax.lax.broadcasted_iota(
+                jnp.int32, (CHUNK, SEQ_MAX), 0) == l_s
+            ).astype(jnp.bfloat16)               # (CHUNK, SEQ_MAX)
+            ps = jax.lax.dot_general(
+                A, B, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)                  # (7*NCHUNK, CHUNK)
+            n = NCHUNK
+            dUm = ps[0:n] + (ps[n:2 * n] << 8)
+            dVm = (ps[2 * n:3 * n] + (ps[3 * n:4 * n] << 8)
+                   + (ps[4 * n:5 * n] << 16))
+            dBm = ps[5 * n:6 * n] + (ps[6 * n:7 * n] << 8)
+            U = _cum2d(dUm) + scal_ref[i % 8, 3]
+            V = _cum2d(dVm) + scal_ref[i % 8, 4]
+            Bb = _cum2d(dBm) + scal_ref[i % 8, 5]
+            jrow = (jax.lax.broadcasted_iota(
+                jnp.int32, (NCHUNK, CHUNK), 0) * CHUNK
+                + jax.lax.broadcasted_iota(
+                    jnp.int32, (NCHUNK, CHUNK), 1))
+            pos17g = jnp.where(jrow < Bb, jrow + U + U_BIAS,
+                               (jrow + V) & 0xFFFF)
 
-        # ---- 3-pack one-hot routing (lane-aligned slot stride) ----
-        page = pos17 >> 8
-        qc = pos17 & 255
-        slots_p = [
-            page[:, 0:COLS], page[:, COLS:2 * COLS],
-            _pad_cols(page[:, 2 * COLS:SUB], COLS, -1),
-        ]
-        slots_q = [
-            qc[:, 0:COLS], qc[:, COLS:2 * COLS],
-            _pad_cols(qc[:, 2 * COLS:SUB], COLS, 0),
-        ]
-        pa, pb, pc = slots_p
-        cb2 = jnp.logical_and(pb == pa, pb >= 0)
-        cc_a = jnp.logical_and(pc == pa, pc >= 0)
-        cc_b = jnp.logical_and(jnp.logical_and(pc == pb, pc >= 0),
-                               jnp.logical_not(cc_a))
-        pb_eff = jnp.where(cb2, -2, pb)
-        pc_eff = jnp.where(jnp.logical_or(cc_a, cc_b), -2, pc)
-        iota_p = jax.lax.broadcasted_iota(
-            jnp.int32, (KPAGES, COLS), 0)
-        ohp = (
-            (iota_p == pa).astype(jnp.bfloat16)
-            + (iota_p == pb_eff).astype(jnp.bfloat16) * 256
-            + (iota_p == pc_eff).astype(jnp.bfloat16) * 65536
+        # ---- patch scatter: stacked-plane bf16 outer product ----
+        if "patch" not in ablate:
+            prec = jnp.concatenate(
+                [patch_ref[0, r:r + 1, :] for r in range(8)], axis=1
+            )                                    # (1, PATCH_MAX)
+            ppos = prec >> 18
+            code18 = prec & 0x3FFFF
+            pr = ppos >> 7
+            phit = (jax.lax.broadcasted_iota(
+                jnp.int32, (NCHUNK, PATCH_MAX), 0) == pr
+            ).astype(jnp.int32)
+            pplanes = [code18 & 255, (code18 >> 8) & 255, code18 >> 16]
+            pA = jnp.concatenate(
+                [(phit * p).astype(jnp.bfloat16) for p in pplanes],
+                axis=0,
+            )                                    # (3*NCHUNK, PATCH_MAX)
+            pB = (jax.lax.broadcasted_iota(
+                jnp.int32, (CHUNK, PATCH_MAX), 0) == (ppos & 127)
+            ).astype(jnp.bfloat16)
+            psum = jax.lax.dot_general(
+                pA, pB, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)                  # (3*NCHUNK, CHUNK)
+            pv = (psum[0:NCHUNK] + (psum[NCHUNK:2 * NCHUNK] << 8)
+                  + (psum[2 * NCHUNK:] << 16))
+            pos17g = jnp.where(pv >= TAG, pv - TAG, pos17g)
+
+        # (NCHUNK, CHUNK) row-major -> (1, SUB) lane-major.  The
+        # round trip through VMEM is deliberate: slices of a live
+        # VALUE keep their sublane offsets (r mod 8) and Mosaic cannot
+        # concatenate mismatched offsets; slices LOADED from a ref
+        # materialize at offset 0.
+        pscr[...] = pos17g
+        pos17 = jnp.concatenate(
+            [pscr[r:r + 1, :] for r in range(NCHUNK)], axis=1
         )
-        yT = jax.lax.dot_general(
-            kmat[...], ohp, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                        # (ROWB, COLS)
-        yi = yT.astype(jnp.int32)
-        iota_r = jax.lax.broadcasted_iota(
-            jnp.int32, (ROWB, COLS), 0)
-        sels = [
-            jnp.sum(jnp.where(iota_r == q, yi, 0), axis=0, keepdims=True)
-            for q in slots_q
-        ]
-        g0 = sels[0] & 255
-        g1 = jnp.where(cb2, sels[1] & 255, (sels[1] >> 8) & 255)
-        g2 = jnp.where(cc_a, sels[2] & 255,
-                       jnp.where(cc_b, (sels[2] >> 8) & 255,
-                                 sels[2] >> 16))
-        val = jnp.concatenate(
-            [g0, g1, g2[:, :SUB - 2 * COLS]], axis=1
-        ).astype(jnp.float32)                    # (1, SUB)
+
+        if "route" in ablate:
+            val = (pos17 & 255).astype(jnp.float32)
+        else:
+            # ---- 3-pack one-hot routing (lane-aligned slots) ----
+            page = pos17 >> 8
+            qc = pos17 & 255
+            slots_p = [
+                page[:, 0:COLS], page[:, COLS:2 * COLS],
+                _pad_cols(page[:, 2 * COLS:SUB], COLS, -1),
+            ]
+            slots_q = [
+                qc[:, 0:COLS], qc[:, COLS:2 * COLS],
+                _pad_cols(qc[:, 2 * COLS:SUB], COLS, 0),
+            ]
+            pa, pb, pc = slots_p
+            cb2 = jnp.logical_and(pb == pa, pb >= 0)
+            cc_a = jnp.logical_and(pc == pa, pc >= 0)
+            cc_b = jnp.logical_and(
+                jnp.logical_and(pc == pb, pc >= 0),
+                jnp.logical_not(cc_a))
+            pb_eff = jnp.where(cb2, -2, pb)
+            pc_eff = jnp.where(jnp.logical_or(cc_a, cc_b), -2, pc)
+            iota_p = jax.lax.broadcasted_iota(
+                jnp.int32, (KPAGES, COLS), 0)
+            ohp = (
+                (iota_p == pa).astype(jnp.bfloat16)
+                + (iota_p == pb_eff).astype(jnp.bfloat16) * 256
+                + (iota_p == pc_eff).astype(jnp.bfloat16) * 65536
+            )
+            yT = jax.lax.dot_general(
+                kmat[...], ohp, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                    # (ROWB, COLS)
+            yi = yT.astype(jnp.int32)
+            iota_r = jax.lax.broadcasted_iota(
+                jnp.int32, (ROWB, COLS), 0)
+            sels = [
+                jnp.sum(jnp.where(iota_r == q, yi, 0), axis=0,
+                        keepdims=True)
+                for q in slots_q
+            ]
+            g0 = sels[0] & 255
+            g1 = jnp.where(cb2, sels[1] & 255, (sels[1] >> 8) & 255)
+            g2 = jnp.where(cc_a, sels[2] & 255,
+                           jnp.where(cc_b, (sels[2] >> 8) & 255,
+                                     sels[2] >> 16))
+            val = jnp.concatenate(
+                [g0, g1, g2[:, :SUB - 2 * COLS]], axis=1
+            ).astype(jnp.float32)                # (1, SUB)
 
         row = scal_ref[i % 8, 0]
         kmat[pl.ds(pl.multiple_of(row, SUB // ROWB), SUB // ROWB), :] = (
@@ -592,11 +673,11 @@ def _make_kernel():
 
 @functools.partial(
     __import__("jax").jit,
-    static_argnames=("n_sub", "interpret"),
+    static_argnames=("n_sub", "interpret", "ablate"),
 )
-def _decode_fused_device(seqblk, lits, colbase, winq, scal, anchors,
-                         patch, ring_init=None, *,
-                         n_sub, interpret=False):
+def _decode_fused_device(seqrec, lits, winq, scal, patch,
+                         ring_init=None, *,
+                         n_sub, interpret=False, ablate=frozenset()):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -606,35 +687,30 @@ def _decode_fused_device(seqblk, lits, colbase, winq, scal, anchors,
         ring_init = jnp.zeros((RPAGES, ROWB), jnp.bfloat16)
     if n_sub % 8:
         pad = 8 - n_sub % 8
-        scal = jnp.concatenate(
-            [scal, jnp.zeros((pad, 4), jnp.int32)])
-        anchors = jnp.concatenate(
-            [anchors, jnp.zeros((pad, NCHUNK), jnp.int32)])
+        scal = jnp.concatenate([scal, jnp.zeros((pad, 8), jnp.int32)])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(n_sub,),
         in_specs=[
-            pl.BlockSpec((1, 4, SEQROWS, SEQBLK),
-                         lambda i, cb, wq: (cb[i], 0, 0, 0)),
-            pl.BlockSpec((1, 32, 256),
-                         lambda i, cb, wq: (wq[i], 0, 0)),
-            pl.BlockSpec((8, 4), lambda i, cb, wq: (i // 8, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, NCHUNK), lambda i, cb, wq: (i // 8, 0),
+            pl.BlockSpec((1, 2, 8, SEQ_MAX // 8),
+                         lambda i, wq: (i, 0, 0, 0)),
+            pl.BlockSpec((1, 32, 256), lambda i, wq: (wq[i], 0, 0)),
+            pl.BlockSpec((8, 8), lambda i, wq: (i // 8, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 8, PATCH_MAX // 8),
-                         lambda i, cb, wq: (i, 0, 0)),
-            pl.BlockSpec((RPAGES, ROWB), lambda i, cb, wq: (0, 0)),
+                         lambda i, wq: (i, 0, 0)),
+            pl.BlockSpec((RPAGES, ROWB), lambda i, wq: (0, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((SUB // 128, 128), lambda i, cb, wq: (i, 0)),
-            pl.BlockSpec((RPAGES, ROWB), lambda i, cb, wq: (0, 0)),
+            pl.BlockSpec((SUB // 128, 128), lambda i, wq: (i, 0)),
+            pl.BlockSpec((RPAGES, ROWB), lambda i, wq: (0, 0)),
         ),
-        scratch_shapes=[pltpu.VMEM((KPAGES, ROWB), jnp.bfloat16)],
+        scratch_shapes=[pltpu.VMEM((KPAGES, ROWB), jnp.bfloat16),
+                        pltpu.VMEM((NCHUNK, CHUNK), jnp.int32)],
     )
     rows, ring_out = pl.pallas_call(
-        _make_kernel(),
+        _make_kernel(ablate),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((n_sub * SUB // 128, 128), jnp.bfloat16),
@@ -644,7 +720,7 @@ def _decode_fused_device(seqblk, lits, colbase, winq, scal, anchors,
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(colbase, winq, seqblk, lits, scal, anchors, patch, ring_init)
+    )(winq, seqrec, lits, scal, patch, ring_init)
     return rows.astype(jnp.uint8), ring_out
 
 
@@ -657,9 +733,8 @@ def decode_fused_rows_on_device(prep: FusedPrep, interpret: bool = False,
     if prep.n_sub == 0:
         return jnp.zeros(0, jnp.uint8)
     rows, _ring = _decode_fused_device(
-        jnp.asarray(prep.seqblk), jnp.asarray(prep.lits),
-        jnp.asarray(prep.colbase), jnp.asarray(prep.winq),
-        jnp.asarray(prep.scal), jnp.asarray(prep.anchors),
+        jnp.asarray(prep.seqrec), jnp.asarray(prep.lits),
+        jnp.asarray(prep.winq), jnp.asarray(prep.scal),
         jnp.asarray(prep.patch),
         ring_init, n_sub=prep.n_sub, interpret=interpret,
     )

@@ -299,7 +299,9 @@ def _launch_chain_groups(table, buf: np.ndarray, mesh: Mesh,
     On a multi-host mesh each host drives only its addressable devices.
 
     Returns (sparse_handles [(chain, device_array)], dense_handles
-    [(plan, rows_device_array)], resolve_chains [chain])."""
+    [(plan, rows_device_array)], fused_handles [(plan, rows)],
+    resolve_chains [chain])."""
+    from .device import fused as fu
     from .device import mxu2 as mx
     from .device import sparse_decode as sp
     from .pipeline import _chains_of, plan_decode
@@ -311,6 +313,7 @@ def _launch_chain_groups(table, buf: np.ndarray, mesh: Mesh,
 
     sparse_handles = []     # (chain, device_array)
     dense_handles = []      # (plan, rows_device_array)
+    fused_handles = []      # (plan, rows_device_array)
     resolve_chains = []     # decoded synchronously by callers (rare)
     for dev, g in zip(devices, groups):
         if not g or dev.process_index != my_proc:
@@ -330,8 +333,19 @@ def _launch_chain_groups(table, buf: np.ndarray, mesh: Mesh,
                 n_sub=pack.n_sub, interpret=interpret,
             )
             dense_handles.append((plan, rows))
+        fp = plan.fused_prep
+        if fp is not None and fp.n_sub:
+            rows, _ring = fu._decode_fused_device(
+                jax.device_put(fp.seqrec, dev),
+                jax.device_put(fp.lits, dev),
+                jax.device_put(fp.winq, dev),
+                jax.device_put(fp.scal, dev),
+                jax.device_put(fp.patch, dev),
+                n_sub=fp.n_sub, interpret=interpret,
+            )
+            fused_handles.append((plan, rows))
         resolve_chains.extend(plan.other)
-    return sparse_handles, dense_handles, resolve_chains
+    return sparse_handles, dense_handles, fused_handles, resolve_chains
 
 
 def decode_sharded_chains_to_device(
@@ -346,11 +360,12 @@ def decode_sharded_chains_to_device(
     """
     import jax.numpy as jnp
 
+    from .device import fused as fu
     from .device import mxu2 as mx
     from .pipeline import _resolve_chain
 
-    sparse_handles, dense_handles, resolve_chains = _launch_chain_groups(
-        table, buf, mesh, interpret
+    sparse_handles, dense_handles, fused_handles, resolve_chains = (
+        _launch_chain_groups(table, buf, mesh, interpret)
     )
     segs = []
     for chain, h in sparse_handles:
@@ -363,6 +378,15 @@ def decode_sharded_chains_to_device(
             segs.append(
                 (chain.out_lo,
                  jax.lax.dynamic_slice(flat, (slo * mx.SUB,), (out_len,)))
+            )
+    for plan, rows in fused_handles:
+        flat = rows.reshape(-1)
+        for chain, (_ci, slo, _shi, out_len) in zip(
+            plan.fused_chains, plan.fused_prep.out_spans
+        ):
+            segs.append(
+                (chain.out_lo,
+                 jax.lax.dynamic_slice(flat, (slo * fu.SUB,), (out_len,)))
             )
     for chain in resolve_chains:
         segs.append(
@@ -392,28 +416,42 @@ def decode_sharded_chains(
     across devices.  On a multi-host pod each host drives its local
     mesh column the same way.
     """
+    from .device import fused as fu
     from .device import mxu2 as mx
     from .pipeline import _resolve_chain
 
-    sparse_handles, dense_handles, resolve_chains = _launch_chain_groups(
-        table, buf, mesh, interpret
+    sparse_handles, dense_handles, fused_handles, resolve_chains = (
+        _launch_chain_groups(table, buf, mesh, interpret)
     )
 
     multihost = jax.process_count() > 1
     out = (np.zeros if multihost else np.empty)(table.n_out, np.uint8)
     fetched = jax.device_get(
-        [h for _c, h in sparse_handles] + [r for _p, r in dense_handles]
+        [h for _c, h in sparse_handles]
+        + [r for _p, r in dense_handles]
+        + [r for _p, r in fused_handles]
     )
     for (chain, _h), arr in zip(sparse_handles, fetched):
         n_c = chain.out_hi - chain.out_lo
         out[chain.out_lo:chain.out_hi] = np.asarray(arr)[:n_c]
-    for (plan, _r), rows_h in zip(dense_handles, fetched[len(sparse_handles):]):
+    n_sp = len(sparse_handles)
+    for (plan, _r), rows_h in zip(dense_handles, fetched[n_sp:]):
         flat = np.asarray(rows_h).reshape(-1)
         for chain, (_ci, slo, _shi, out_len) in zip(
             plan.dense_chains, plan.dense_pack.out_spans
         ):
             out[chain.out_lo:chain.out_hi] = flat[
                 slo * mx.SUB: slo * mx.SUB + out_len
+            ]
+    for (plan, _r), rows_h in zip(
+        fused_handles, fetched[n_sp + len(dense_handles):]
+    ):
+        flat = np.asarray(rows_h).reshape(-1)
+        for chain, (_ci, slo, _shi, out_len) in zip(
+            plan.fused_chains, plan.fused_prep.out_spans
+        ):
+            out[chain.out_lo:chain.out_hi] = flat[
+                slo * fu.SUB: slo * fu.SUB + out_len
             ]
     for chain in resolve_chains:
         out[chain.out_lo:chain.out_hi] = _resolve_chain(buf, table, chain)

@@ -392,9 +392,11 @@ class DecodePlan:
     * ``sparse``: few giant segments (zeros/RLE, incompressible,
       uncompressed blocks) -> XLA segment program at HBM speed
       (device/sparse_decode.py)
-    * ``dense``: many small sequences (text) -> MXU byte-provenance
-      routing kernel (device/mxu2.py)
-    * ``pallas``/``resolve``: anything the two fast paths decline
+    * ``fused``: many small sequences (text) -> fused expansion +
+      routing kernel (device/fused.py) — host work O(sequences)
+    * ``dense``: fused-budget overflows (dense in-substep references)
+      -> host-packed MXU routing kernel (device/mxu2.py)
+    * ``pallas``/``resolve``: anything the fast paths decline
       (oversized chains, pathological shapes)
     """
 
@@ -402,6 +404,8 @@ class DecodePlan:
     dense_chains: list   # [chain]
     dense_pack: object   # DensePack2 | None
     other: list          # [chain] -> segment kernel / resolver
+    fused_chains: list = dataclasses.field(default_factory=list)
+    fused_prep: object = None   # device.fused.FusedPrep | None
 
 
 _SPARSE_MAX_SEQS = 512
@@ -414,12 +418,16 @@ _DENSE_MAX_CHAIN_OUT_NUMPY = 1 << 28
 
 
 def plan_decode(buf: np.ndarray, parsed: ParseResult, table: SeqTable,
-                stats: DecodeStats | None = None, chains: list | None = None):
-    """Classify every chain and pre-pack the dense batch.
+                stats: DecodeStats | None = None, chains: list | None = None,
+                engine: str = "auto"):
+    """Classify every chain and prepare the dense-engine inputs.
 
     ``chains`` restricts planning to a subset (used by the sharded
     chain-parallel path to plan one device's share); default is every
-    chain of the table."""
+    chain of the table.  ``engine``: "auto" prefers the fused
+    on-device-expansion kernel with per-chain fallback to the
+    host-pack engine on budget overflow; "mxu2" forces host packing
+    (used by callers that have not adopted the fused input layout)."""
     from .device import mxu2 as mx
     from .device import sparse_decode as sp
 
@@ -428,6 +436,7 @@ def plan_decode(buf: np.ndarray, parsed: ParseResult, table: SeqTable,
     dense_cap = (_DENSE_MAX_CHAIN_OUT if native.available()
                  else _DENSE_MAX_CHAIN_OUT_NUMPY)
     plan = DecodePlan(sparse=[], dense_chains=[], dense_pack=None, other=[])
+    dense_cand = []
     dense_ranges = []
     for chain in (_chains_of(table) if chains is None else chains):
         if chain.out_hi == chain.out_lo:
@@ -453,6 +462,44 @@ def plan_decode(buf: np.ndarray, parsed: ParseResult, table: SeqTable,
             if stats is not None:
                 stats.note_engine("resolve", chain)
             continue
+        dense_cand.append(chain)
+    if dense_cand and engine != "mxu2":
+        from .device import fused as fu
+
+        def _try(chs):
+            prep = fu.prep_fused(
+                table.lit_len, table.match_len, table.match_off,
+                table.lit_src, buf,
+                chain_ranges=[(c.seq_lo, c.seq_hi) for c in chs],
+            )
+            plan.fused_chains = chs
+            plan.fused_prep = prep
+
+        try:
+            _try(dense_cand)
+            dense_cand = []
+        except fu.FusedOverflow:
+            if len(dense_cand) > 1:
+                # isolate the offending chains: budget overflows are a
+                # per-chain property (patch density, window pressure)
+                ok = []
+                for c in dense_cand:
+                    try:
+                        fu.prep_fused(
+                            table.lit_len, table.match_len,
+                            table.match_off, table.lit_src, buf,
+                            chain_ranges=[(c.seq_lo, c.seq_hi)],
+                        )
+                        ok.append(c)
+                    except fu.FusedOverflow:
+                        continue
+                if ok:
+                    _try(ok)
+                    dense_cand = [c for c in dense_cand if c not in ok]
+    for chain in plan.fused_chains:
+        if stats is not None:
+            stats.note_engine("fused", chain)
+    for chain in dense_cand:
         plan.dense_chains.append(chain)
         dense_ranges.append((chain.seq_lo, chain.seq_hi))
         if stats is not None:
@@ -467,14 +514,18 @@ def plan_decode(buf: np.ndarray, parsed: ParseResult, table: SeqTable,
 
 def _demote_dense_on_cpu(plan: DecodePlan, interpret: bool) -> DecodePlan:
     """Compiled Pallas needs a TPU; on CPU the resolver covers dense
-    chains (interpret-mode kernel coverage lives in tests/test_mxu2.py)."""
+    chains (interpret-mode kernel coverage lives in tests/test_mxu2.py
+    and tests/test_fused.py)."""
     import jax
 
-    if (plan.dense_pack is not None and not interpret
-            and jax.devices()[0].platform == "cpu"):
+    if interpret or jax.devices()[0].platform != "cpu":
+        return plan
+    if plan.dense_pack is not None or plan.fused_prep is not None:
         plan = dataclasses.replace(
-            plan, other=plan.other + plan.dense_chains,
+            plan,
+            other=plan.other + plan.dense_chains + plan.fused_chains,
             dense_chains=[], dense_pack=None,
+            fused_chains=[], fused_prep=None,
         )
     return plan
 
@@ -501,6 +552,13 @@ def _decode_via_plan(
     dense_flat = None
     if plan.dense_pack is not None:
         dense_flat = mx.decode_dense2_rows(plan.dense_pack, interpret)
+    fused_flat = None
+    if plan.fused_prep is not None:
+        from .device import fused as fu
+
+        fused_flat = np.asarray(jax.device_get(
+            fu.decode_fused_rows_on_device(plan.fused_prep, interpret)
+        ))
     # fetch + assemble
     for kind, meta, h in handles:
         chain = meta
@@ -513,6 +571,15 @@ def _decode_via_plan(
         ):
             out[chain.out_lo:chain.out_hi] = dense_flat[
                 slo * mx.SUB: slo * mx.SUB + out_len
+            ]
+    if fused_flat is not None:
+        from .device import fused as fu
+
+        for chain, (_c, slo, _shi, out_len) in zip(
+            plan.fused_chains, plan.fused_prep.out_spans
+        ):
+            out[chain.out_lo:chain.out_hi] = fused_flat[
+                slo * fu.SUB: slo * fu.SUB + out_len
             ]
     # stragglers through the segment kernel / resolver
     if plan.other:
@@ -601,6 +668,19 @@ def build_device_segments(buf: np.ndarray, table: SeqTable, plan: DecodePlan,
             segs.append(
                 (chain.out_lo,
                  jax.lax.dynamic_slice(flat, (slo * mx.SUB,), (out_len,)))
+            )
+    if plan.fused_prep is not None:
+        from .device import fused as fu
+
+        fflat = fu.decode_fused_rows_on_device(
+            plan.fused_prep, interpret=interpret
+        )
+        for chain, (_c, slo, _shi, out_len) in zip(
+            plan.fused_chains, plan.fused_prep.out_spans
+        ):
+            segs.append(
+                (chain.out_lo,
+                 jax.lax.dynamic_slice(fflat, (slo * fu.SUB,), (out_len,)))
             )
     for chain in plan.other:
         segs.append(
