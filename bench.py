@@ -1,42 +1,46 @@
 """Benchmark: LZ4 decode throughput per chip on the reference's large
-vectors (z9m.lz4 + t1111k.lz4), per driver BASELINE.json.
+vectors (z9m.lz4 + t1111k.lz4 + b3444k.lz4), per driver BASELINE.json.
 
-Methodology
------------
-Measures steady-state decode throughput of the classifier pipeline
-(lz4tpu/pipeline.py plan_decode): z9m's three independent RLE blocks
-run as a Pallas block-fill program (device/sparse_decode.py), and
-t1111k's 222K-sequence text block runs through the MXU byte-provenance
-routing kernel (device/mxu2.py).  Each timed iteration issues ONE fused
-jit computation that decodes the whole corpus; decoded bytes stay
-device-resident (the production deployment of a TPU-native codec is
-decoded bytes feeding TPU consumers in HBM).
+Accounting (round-2: the round-1 verdict required the timed region to
+start right after the token scan, with all provenance work inside it)
+---------------------------------------------------------------------
+Per vector, one request costs
 
-Staged once, outside the timed region: the compressed bytes and the
-host-packed per-byte routing codes (~4.5 MB), both HBM-resident.  This
-machine reaches the TPU through a development tunnel whose
-host<->device link moves ~20 MB/s with ~2 ms per transfer — three
-orders of magnitude below the PCIe/DMA links of a production TPU host,
-where shipping these inputs costs a few milliseconds.  Timing that
-tunnel would measure the harness, not the codec.  For reference, the
-host-side preprocessing itself (frame parse + native token scan +
-per-byte provenance resolution) is tens of ms/corpus single-threaded
-and re-derivable per request; it pipelines behind device execution in
-a decode service.
+  t_total = t_prep + t_device
 
-Correctness is asserted outside the timed region: the fused call's
-output is compared bit-for-bit against the host engine (which the
-vector suite verifies against the reference), and block/content
-checksums are verified by the pipeline tests.
+* ``t_prep``  — HOST work after the native token scan: the decode plan
+  (chain classification, fused-engine sequence/patch records, sparse
+  programs).  With the fused engine this is O(sequences), not
+  O(output bytes); it is re-executed and timed per iteration.
+* ``t_device`` — the device computation decoding the whole corpus to
+  HBM-resident output, interleaved-chain slope-timed (see below).
 
-vs_baseline: the reference Ada library decodes zeros at 2094 MiB/s and
-text at 1099 MiB/s (single Xeon core, hyperfine mode — BASELINE.md).
-Weighted over these two vectors:
+Excluded and why:
+* frame parse + native token scan: O(compressed) streaming work the
+  verdict's accounting explicitly leaves ahead of the timed region.
+* host<->device transfers: this machine reaches the TPU through a
+  development tunnel moving ~20 MB/s with ~2 ms/transfer — three
+  orders of magnitude below production PCIe/DMA.  The per-request
+  input volume is printed per vector (bytes_shipped) so the production
+  transfer cost (~0.5 ms at 10 GB/s for the largest vector) can be
+  judged directly rather than measured through the tunnel.
 
-  t_ref = 9437166 B / 2094 MiB/s + 1137664 B / 1099 MiB/s = 5.29 ms
-  ref_aggregate = 10574830 B / t_ref = 2.00 GB/s
+Device timing: the tunnel chip's effective clock drifts up to 2x
+between processes and within minutes, and a host sync costs ~30 ms of
+tunnel jitter, so each vector's device time is a two-point slope
+(chained executions inside one jit via ring/data dependencies), median
+of five, after a sustained warm-up — never a single wall-clock reading
+(CLAUDE.md measurement rules).
 
-so vs_baseline = value / 2.00.
+Correctness is asserted outside the timed region: every vector's
+device output is compared bit-for-bit against the host engine (which
+the vector suite pins against the reference).
+
+vs_baseline: the reference Ada library (single Xeon core, hyperfine
+mode — BASELINE.md) decodes zeros at 2094 MiB/s, text at 1099 MiB/s,
+and random at 1109 MiB/s.  The aggregate reference rate over this
+corpus is total_bytes / sum(size_i / rate_i); vs_baseline is our
+aggregate over it.
 """
 
 from __future__ import annotations
@@ -52,9 +56,9 @@ import numpy as np
 VECTOR_DIR = pathlib.Path(
     os.environ.get("LZ4TPU_VECTORS", "/root/reference/test_vectors_lz4")
 )
-VECTORS = ["z9m", "t1111k"]
-REF_AGGREGATE_GBPS = 2.00  # see module docstring
-REPS = int(os.environ.get("LZ4TPU_BENCH_REPS", "20"))
+VECTORS = ["z9m", "t1111k", "b3444k"]
+REF_MIBS = {"z9m": 2094.0, "t1111k": 1099.0, "b3444k": 1109.0}
+REPS = int(os.environ.get("LZ4TPU_BENCH_REPS", "6"))
 
 
 def main() -> int:
@@ -62,112 +66,143 @@ def main() -> int:
     import jax.numpy as jnp
 
     from lz4tpu import FOR_ALL, decompress_host
-    from lz4tpu.device import mxu2 as mx
+    from lz4tpu.device import fused as fu
     from lz4tpu.device import sparse_decode as sp
     from lz4tpu.frame import parse_frames
     from lz4tpu.pipeline import build_seq_table, plan_decode
 
-    staged = []
+    def sync_probe(x):
+        # block_until_ready does not sync through the axon tunnel;
+        # force a scalar round trip (CLAUDE.md)
+        return int(jax.device_get(jnp.sum(x.ravel()[:1].astype(jnp.int32))))
+
+    per_vec = []
     total_bytes = 0
-    plans = []
+    t_ref_total = 0.0
+    agg_total_t = 0.0
     for name in VECTORS:
         data = (VECTOR_DIR / f"{name}.lz4").read_bytes()
         buf = np.frombuffer(data, dtype=np.uint8)
         parsed = parse_frames(buf, FOR_ALL)
         table = build_seq_table(buf, parsed, FOR_ALL, data)
+        n_out = table.n_out
+
+        # ---- timed host stage: plan + fused/sparse prep -------------
         plan = plan_decode(buf, parsed, table)
+        t0 = time.time()
+        for _ in range(3):
+            plan = plan_decode(buf, parsed, table)
+        t_prep = (time.time() - t0) / 3
         assert not plan.other, f"{name}: chain fell off the fast paths"
-        staged.append((name, data, buf))
-        plans.append((name, buf, table, plan))
-        total_bytes += table.n_out
+        assert not plan.dense_chains, f"{name}: fused overflow -> mxu2"
 
-    # ---- stage device inputs once (see module docstring) ------------------
-    comp_dev = {name: jnp.asarray(buf) for name, _d, buf in staged}
-    pk = next(p.dense_pack for *_, p in plans if p.dense_pack is not None)
-    code_d = jnp.asarray(pk.code)
-    scal_d = jnp.asarray(pk.scal)
-    sparse_progs = [
-        (name, chain, prog)
-        for name, _b, _t, plan in plans
-        for chain, prog in plan.sparse
-    ]
+        # ---- stage device inputs (transfers excluded, see docstring)
+        shipped = 0
+        comp_dev = jnp.asarray(buf)
+        shipped += buf.nbytes
+        sparse_progs = [(c, p) for c, p in plan.sparse]
+        fp = plan.fused_prep
+        fargs = None
+        if fp is not None:
+            arrs = (fp.seqrec, fp.lits, fp.winq, fp.scal, fp.patch)
+            shipped += sum(a.nbytes for a in arrs)
+            fargs = tuple(jnp.asarray(a) for a in arrs)
 
-    # ---- ONE fused decode computation for the whole corpus ----------------
-    @jax.jit
-    def decode_corpus(comps, code, scal):
-        outs = [
-            sp._compile_program(prog.ops, prog.n_out)(comps[name])
-            for name, _c, prog in sparse_progs
-        ]
-        rows, _ring = mx._decode_dense2_device(code, scal, n_sub=pk.n_sub)
-        return outs, rows
+        @jax.jit
+        def decode_corpus(comp, *fa):
+            """One full decode of the vector to HBM-resident output."""
+            outs = [
+                sp._compile_program(prog.ops, prog.n_out)(comp)
+                for _c, prog in sparse_progs
+            ]
+            rows = None
+            if fa:
+                seqrec, lits, winq, scal, patch = fa
+                rows, _ring = fu._decode_fused_device(
+                    seqrec, lits, winq, scal, patch, n_sub=fp.n_sub,
+                )
+            return outs, rows
 
-    def sync(handles):
-        outs, rows = handles
-        probe = sum(jnp.sum(o[:1].astype(jnp.int32)) for o in outs)
-        jax.device_get(probe + jnp.sum(rows[:1, :1].astype(jnp.int32)))
+        def run_n(reps):
+            """reps independent decode dispatches; the device queue
+            serializes them, so (t(4N) - t(N)) / 3N is the marginal
+            per-decode device time with dispatch latency cancelled."""
+            last = None
+            for _ in range(reps):
+                last = decode_corpus(comp_dev, *(fargs or ()))
+            outs, rows = last
+            probe = jnp.zeros((), jnp.int32)
+            for o in outs:
+                probe = probe + o[0].astype(jnp.int32)
+            if rows is not None:
+                probe = probe + rows[0, 0].astype(jnp.int32)
+            return probe
 
-    # ---- correctness gate (outside timing) --------------------------------
-    outs, rows = decode_corpus(comp_dev, code_d, scal_d)
-    flat = np.asarray(jax.device_get(rows)).reshape(-1)
-    k = 0
-    for name, buf, table, plan in plans:
-        res = bytearray(table.n_out)
-        for chain, prog in plan.sparse:
+        # correctness gate (outside timing)
+        outs, rows = decode_corpus(comp_dev, *(fargs or ()))
+        res = bytearray(n_out)
+        for (chain, _p), o in zip(sparse_progs, outs):
             n_c = chain.out_hi - chain.out_lo
             res[chain.out_lo:chain.out_hi] = np.asarray(
-                jax.device_get(outs[k])
-            )[:n_c].tobytes()
-            k += 1
-        if plan.dense_pack is not None:
-            for chain, (c, slo, shi, out_len) in zip(
-                plan.dense_chains, plan.dense_pack.out_spans
+                jax.device_get(o))[:n_c].tobytes()
+        if fp is not None:
+            flat = np.asarray(jax.device_get(rows)).reshape(-1)
+            for chain, (_c, slo, _shi, out_len) in zip(
+                plan.fused_chains, fp.out_spans
             ):
                 res[chain.out_lo:chain.out_hi] = flat[
-                    slo * mx.SUB: slo * mx.SUB + out_len
+                    slo * fu.SUB: slo * fu.SUB + out_len
                 ].tobytes()
-        data = next(d for n, d, _b in staged if n == name)
         assert bytes(res) == decompress_host(data), f"{name}: mismatch"
 
-    # ---- timed steady state -----------------------------------------------
-    # Two-point slope: the final sync costs a fixed ~30 ms (scalar d2h
-    # round trip through the dev tunnel); timing N and 4N iterations and
-    # taking the slope measures the true marginal cost per decode.
-    def run(reps):
-        t0 = time.time()
-        last = None
-        for _ in range(reps):
-            last = decode_corpus(comp_dev, code_d, scal_d)
-        sync(last)
-        return time.time() - t0
+        # ---- device slope timing ------------------------------------
+        def timed(reps):
+            t0 = time.time()
+            sync_probe(run_n(reps))
+            return time.time() - t0
 
-    sync(decode_corpus(comp_dev, code_d, scal_d))
-    # Sustained warm-up (~2 s): the tunnel chip's effective clock can
-    # sit in a degraded state between bursts; spin until the per-rep
-    # time stops improving so the slopes below measure steady state.
-    t_prev = run(REPS)
-    for _ in range(10):
-        t_now = run(REPS)
-        if t_now >= t_prev * 0.97:
-            break
-        t_prev = t_now
-    # median of five slope estimates: each sync carries ~30 ms of
-    # tunnel jitter, so a single slope wobbles by ~10%
-    slopes = []
-    for _ in range(5):
-        t_small = run(REPS)
-        t_big = run(4 * REPS)
-        slopes.append((t_big - t_small) / (3 * REPS))
-    elapsed = sorted(slopes)[2]
+        timed(2)
+        timed(REPS)
+        t_prev = timed(REPS)
+        for _ in range(10):
+            t_now = timed(REPS)
+            if t_now >= t_prev * 0.97:
+                break
+            t_prev = t_now
+        slopes = []
+        for _ in range(5):
+            t_small = timed(REPS)
+            t_big = timed(4 * REPS)
+            slopes.append((t_big - t_small) / (3 * REPS))
+        t_dev = sorted(slopes)[2]
 
-    gbps = total_bytes / elapsed / 1e9
+        t_total = t_prep + t_dev
+        total_bytes += n_out
+        agg_total_t += t_total
+        t_ref_total += n_out / (REF_MIBS[name] * 1024 * 1024)
+        per_vec.append(dict(
+            name=name, n_out=n_out, t_prep_ms=t_prep * 1e3,
+            t_dev_ms=t_dev * 1e3, gbps=n_out / t_total / 1e9,
+            gbps_dev=n_out / t_dev / 1e9,
+            shipped_mb=shipped / 1e6,
+        ))
+        print(
+            f"{name}: {n_out} B  prep {t_prep*1e3:.2f} ms + device "
+            f"{t_dev*1e3:.2f} ms -> {n_out/t_total/1e9:.3f} GB/s "
+            f"(device-only {n_out/t_dev/1e9:.2f}; ships "
+            f"{shipped/1e6:.1f} MB/request)",
+            file=sys.stderr,
+        )
+
+    gbps = total_bytes / agg_total_t / 1e9
+    ref_gbps = total_bytes / t_ref_total / 1e9
     print(
         json.dumps(
             {
-                "metric": "lz4_decode_throughput_z9m_t1111k",
+                "metric": "lz4_decode_post_scan_z9m_t1111k_b3444k",
                 "value": round(gbps, 4),
                 "unit": "GB/s/chip",
-                "vs_baseline": round(gbps / REF_AGGREGATE_GBPS, 4),
+                "vs_baseline": round(gbps / ref_gbps, 4),
             }
         )
     )

@@ -204,7 +204,145 @@ def prep_fused(
 
     All work is O(S + n_sub + in-substep bytes); no per-output-byte
     pass exists (that is the point — cf. module docstring).  Raises
-    FusedOverflow for chains that exceed a kernel budget."""
+    FusedOverflow for chains that exceed a kernel budget.
+
+    Uses the native engine when available (lz4core.cpp
+    lz4tpu_prep_fused, differential-tested against the numpy path;
+    patch slot order within a substep may differ — the kernel scatter
+    is order-independent)."""
+    from .. import native
+
+    if native.available():
+        return _prep_fused_native(
+            lit_len, match_len, match_off, lit_src, buf, chain_ranges
+        )
+    return _prep_fused_numpy(
+        lit_len, match_len, match_off, lit_src, buf, chain_ranges
+    )
+
+
+def _build_windows(lits_flat: np.ndarray, n_win: int) -> np.ndarray:
+    """Overlapped 8 KiB literal windows at 4 KiB stride (vectorized)."""
+    lit_pad = np.zeros(n_win * LITWIN_Q + LITWIN_Q, np.uint8)
+    lit_pad[: lits_flat.size] = lits_flat
+    wins = np.empty((n_win, 32, 256), np.uint8)
+    body = lit_pad[: n_win * LITWIN_Q].reshape(n_win, 16, 256)
+    wins[:, :16] = body
+    wins[:-1, 16:] = body[1:]
+    wins[-1, 16:] = lit_pad[
+        n_win * LITWIN_Q: n_win * LITWIN_Q + LITWIN_Q
+    ].reshape(16, 256)
+    return wins
+
+
+_POOL: dict = {}
+_POOL_DEPTH = 4
+
+
+def _pool_arrays(nst: int, lit_cap: int):
+    """Rotating buffer pool for prep outputs.
+
+    Fresh multi-MB numpy allocations cost ~2 ms in first-touch page
+    faults per request (measured); recycling through a 4-deep rotation
+    reuses warm pages.  Depth 4 keeps a buffer set untouched for three
+    further requests after jnp.asarray has copied from it.  Disable
+    with LZ4TPU_PREP_POOL=0."""
+    import collections
+    import os
+
+    if os.environ.get("LZ4TPU_PREP_POOL", "1") == "0":
+        return (
+            np.zeros(lit_cap, np.uint8),
+            np.zeros(nst, np.int32),
+            np.zeros((nst, 8), np.int32),
+            np.zeros((nst, 2, 8, SEQ_MAX // 8), np.int32),
+            np.zeros((nst, 8, PATCH_MAX // 8), np.int32),
+        )
+    nst_b = -(-nst // 64) * 64
+    lit_b = 1 << max(12, (lit_cap - 1).bit_length())
+    key = (nst_b, lit_b)
+    q = _POOL.setdefault(key, collections.deque())
+    if len(q) >= _POOL_DEPTH:
+        bufs = q.popleft()
+        for a in bufs:
+            a.fill(0)
+    else:
+        bufs = (
+            np.zeros(lit_b, np.uint8),
+            np.zeros(nst_b, np.int32),
+            np.zeros((nst_b, 8), np.int32),
+            np.zeros((nst_b, 2, 8, SEQ_MAX // 8), np.int32),
+            np.zeros((nst_b, 8, PATCH_MAX // 8), np.int32),
+        )
+    q.append(bufs)
+    lits_b, winq_b, scal_b, seqrec_b, patch_b = bufs
+    return (lits_b[:lit_cap], winq_b[:nst], scal_b[:nst],
+            seqrec_b[:nst], patch_b[:nst])
+
+
+def _prep_fused_native(lit_len, match_len, match_off, lit_src, buf,
+                       chain_ranges) -> FusedPrep:
+    from .. import native
+
+    if chain_ranges is None:
+        chain_ranges = [(0, lit_len.size)]
+    metas = []
+    lit_acc = 0
+    n_sub_total = 0
+    for cid, (lo, hi) in enumerate(chain_ranges):
+        n_lit = int(lit_len[lo:hi].astype(np.int64).sum())
+        n_out = int(n_lit + match_len[lo:hi].astype(np.int64).sum())
+        n_sub_c = -(-n_out // SUB) if n_out else 0
+        metas.append((cid, lo, hi, n_lit, n_out, n_sub_c,
+                      lit_acc, n_sub_total))
+        lit_acc += n_lit
+        n_sub_total += n_sub_c
+    n_win = max(1, -(-max(1, lit_acc) // LITWIN_Q))
+    nst = max(n_sub_total, 1)
+    lits_flat, winq, scal, seqrec, patch = _pool_arrays(
+        nst, max(lit_acc, 1)
+    )
+    out_spans = []
+    n_recs = n_patches = 0
+    buf8 = np.ascontiguousarray(buf, np.uint8)
+    for (cid, lo, hi, n_lit, n_out, n_sub_c, lit_base, sub0) in metas:
+        out_spans.append((cid, sub0, sub0 + n_sub_c, n_out))
+        if n_sub_c == 0:
+            continue
+        try:
+            nr, npat = native.prep_fused_chain(
+                np.ascontiguousarray(lit_len[lo:hi], np.int32),
+                np.ascontiguousarray(match_len[lo:hi], np.int32),
+                np.ascontiguousarray(match_off[lo:hi], np.int32),
+                np.ascontiguousarray(lit_src[lo:hi], np.int32),
+                buf8, lit_base, n_win,
+                lits_flat[lit_base:lit_base + max(n_lit, 1)],
+                winq[sub0:sub0 + n_sub_c],
+                scal[sub0:sub0 + n_sub_c],
+                seqrec[sub0:sub0 + n_sub_c],
+                patch[sub0:sub0 + n_sub_c],
+            )
+        except ValueError as exc:
+            raise FusedOverflow(str(exc)) from None
+        n_recs += nr
+        n_patches += npat
+    return FusedPrep(
+        seqrec=seqrec, lits=_build_windows(lits_flat[:lit_acc], n_win),
+        winq=winq, scal=scal, patch=patch,
+        n_sub=n_sub_total, n_patches=n_patches, n_seq_recs=n_recs,
+        out_spans=out_spans,
+    )
+
+
+def _prep_fused_numpy(
+    lit_len: np.ndarray,
+    match_len: np.ndarray,
+    match_off: np.ndarray,
+    lit_src: np.ndarray,
+    buf: np.ndarray,
+    chain_ranges: list | None = None,
+) -> FusedPrep:
+    """Pure-numpy prep (fallback + differential reference)."""
     if chain_ranges is None:
         chain_ranges = [(0, lit_len.size)]
 
@@ -359,13 +497,7 @@ def prep_fused(
             all_pat.append(((pos - sub_i * SUB) << 18) | pos17 | TAG)
 
     # ---- literal stream as overlapped 8 KiB windows -----------------
-    lit_pad = np.zeros(n_win * LITWIN_Q + LITWIN_Q, np.uint8)
-    lit_pad[: lits_flat.size] = lits_flat
-    wins = np.zeros((n_win, 32, 256), np.uint8)
-    for w in range(n_win):
-        wins[w] = lit_pad[w * LITWIN_Q: w * LITWIN_Q + 8192].reshape(
-            32, 256
-        )
+    wins = _build_windows(lits_flat, n_win)
 
     # ---- grouped record blocks --------------------------------------
     n_seq_recs = 0
@@ -666,7 +798,12 @@ def _make_kernel(ablate: frozenset = frozenset()):
             _rows(val, SUB // ROWB).astype(jnp.bfloat16)
         )
         out_ref[...] = _rows(val, SUB // 128).astype(jnp.bfloat16)
-        ring_out_ref[...] = kmat[0:RPAGES, :]
+
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _():
+            # the carry consumer only needs the FINAL ring; writing it
+            # every substep costs 128 KiB/substep of HBM writes
+            ring_out_ref[...] = kmat[0:RPAGES, :]
 
     return kern
 

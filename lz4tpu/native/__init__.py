@@ -92,6 +92,14 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         u8p, c.c_int64, i32p, i32p, i32p, i32p, c.c_int64, i32p, c.c_int64,
         c.c_int32,
     ]
+    lib.lz4tpu_prep_fused.restype = c.c_int32
+    lib.lz4tpu_prep_fused.argtypes = [
+        i32p, i32p, i32p, i32p, c.c_int64,       # ll, ml, mo, ls, S
+        u8p,                                      # buf
+        c.c_int64, c.c_int64,                     # lit_base, n_win
+        u8p, i32p, i32p, i32p, i32p,              # lits, winq, scal,
+        i64p,                                     # seqrec, patch, counts
+    ]
     return lib
 
 
@@ -335,3 +343,40 @@ def compress_block(
     if n < 0:
         raise RuntimeError("lz4tpu_compress_block: destination overflow")
     return dst[:n].tobytes()
+
+
+_PREP_OVERFLOW = {
+    -10: "seq records per substep (budget)",
+    -11: "in-substep patches (budget)",
+    -12: "field delta exceeds digit range",
+    -13: "patch literal outside window",
+    -14: "patch chain deeper than 64",
+    -15: "literal affine constant range",
+    -16: "match spans cross >64 substeps",
+}
+
+
+def prep_fused_chain(ll, ml, mo, ls, buf, lit_base, n_win,
+                     lits, winq, scal, seqrec, patch):
+    """Native fused-engine prep for one chain (device/fused.py layout).
+
+    Writes into the caller's zeroed per-chain array views; returns
+    (n_seq_recs, n_patches).  Raises ValueError with an overflow
+    message (the fused module wraps it in FusedOverflow)."""
+    c = ctypes
+    i32p = c.POINTER(c.c_int32)
+
+    def ip(a):
+        assert a.dtype == np.int32 and a.flags.c_contiguous
+        return a.ctypes.data_as(i32p)
+
+    counts = np.zeros(2, np.int64)
+    st = _get().lz4tpu_prep_fused(
+        ip(ll), ip(ml), ip(mo), ip(ls), c.c_int64(ll.size),
+        _u8ptr(_as_u8(buf)), c.c_int64(lit_base), c.c_int64(n_win),
+        _u8ptr(lits), ip(winq), ip(scal), ip(seqrec), ip(patch),
+        counts.ctypes.data_as(c.POINTER(c.c_int64)),
+    )
+    if st != 0:
+        raise ValueError(_PREP_OVERFLOW.get(st, f"prep status {st}"))
+    return int(counts[0]), int(counts[1])

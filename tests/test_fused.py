@@ -105,3 +105,32 @@ def test_round_trip_via_own_encoder():
     except fused.FusedOverflow:
         pytest.skip("random blob exceeded fused budgets")
     _check_spans(fused.golden_decode(prep), prep, blob)
+
+
+@pytest.mark.parametrize("name", ["t389", "t100k", "t1111k", "concat390"])
+def test_native_prep_matches_numpy(name):
+    """The native prep (lz4core.cpp lz4tpu_prep_fused) must produce
+    identical arrays to the numpy reference — except patch slot ORDER
+    within a substep, which is unspecified (the kernel scatter is
+    order-independent), so patches compare as per-substep multisets."""
+    from lz4tpu import native
+
+    if not native.available():
+        pytest.skip("native engine unavailable")
+    data = (V / f"{name}.lz4").read_bytes()
+    buf = np.frombuffer(data, np.uint8)
+    parsed = parse_frames(buf, FOR_ALL)
+    t = build_seq_table(buf, parsed, FOR_ALL, data)
+    a = fused._prep_fused_native(
+        t.lit_len, t.match_len, t.match_off, t.lit_src, buf, None)
+    b = fused._prep_fused_numpy(
+        t.lit_len, t.match_len, t.match_off, t.lit_src, buf, None)
+    for f in ("lits", "winq", "scal", "seqrec"):
+        assert (getattr(a, f) == getattr(b, f)).all(), f
+    nst = max(a.n_sub, 1)
+    pa = np.sort(a.patch.reshape(nst, -1), axis=1)
+    pb = np.sort(b.patch.reshape(nst, -1), axis=1)
+    assert (pa == pb).all()
+    assert a.n_patches == b.n_patches
+    assert a.n_seq_recs == b.n_seq_recs
+    assert a.out_spans == b.out_spans
