@@ -117,9 +117,15 @@ def decompress_host(data, reservation: Reservation = FOR_ALL) -> bytes:
 
 
 def _decompress_host_streaming(arr, reservation: Reservation) -> bytes:
-    ctx = Decompressor(reservation)
+    reservation = Reservation(reservation)
+    if reservation.is_concrete:
+        ctx = Decompressor(reservation)
+        pos = 0
+    else:
+        # flexible policies (USE_FIRST / SINGLE_FRAME) size buffers
+        # from the first frame header
+        ctx, pos = Decompressor.from_header(arr, reservation)
     out = bytearray()
-    pos = 0
     stall = 0
     while pos < arr.size:
         consumed, chunk = ctx.update(arr[pos:])

@@ -127,7 +127,6 @@ def cmd_lz4hdrinfo(args) -> int:
         line("    Content_Checksum:4", str(bool(flg & 0x04)).upper())
         line("    Reserved:2", str(bool(flg & 0x02)).upper())
         line("    Dictionary_ID:1", str(bool(flg & 0x01)).upper())
-        line("    Block_Independence:32", str(bool(flg & 0x20)).upper())
         line("BD", hex8(bd))
         line("    Has_Reserved", str(bool(bd & 0x8F)).upper())
         sizes = {4: "64 KiB", 5: "256 KiB", 6: "1 MiB", 7: "4 MiB"}

@@ -250,7 +250,8 @@ def _pool_arrays(nst: int, lit_cap: int):
     import collections
     import os
 
-    if os.environ.get("LZ4TPU_PREP_POOL", "1") == "0":
+    if (os.environ.get("LZ4TPU_PREP_POOL", "1") == "0"
+            or nst > 2048):   # pool only request-sized preps (<=8 MiB)
         return (
             np.zeros(lit_cap, np.uint8),
             np.zeros(nst, np.int32),

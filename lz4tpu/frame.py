@@ -136,6 +136,13 @@ def parse_frames(
             frame, pos = _parse_legacy(buf, pos, fid, policy)
         elif SKIPPABLE_LO <= magic <= SKIPPABLE_HI:
             _need_header(buf, pos + 4, 4, policy)
+            if policy == Reservation.USE_FIRST:
+                # A leading skippable frame sizes buffers minimally
+                # (reference: lz4ada.adb:177); later frames needing
+                # more must raise Too_Little_Memory — same rule the
+                # streaming core applies (stream.py), pinned by
+                # tests/test_parity_edges.py.
+                policy = Reservation.SZ_64_KIB
             length = _le32(buf, pos + 4)
             _need(buf, pos + 8, length)
             frame = FrameRec(

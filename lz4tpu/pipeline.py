@@ -409,6 +409,11 @@ class DecodePlan:
 
 
 _SPARSE_MAX_SEQS = 512
+# Fused-engine chain cap: prep ships ~3 B of records per output byte
+# (seq records + patches + windows, padding included), so giant chains
+# would hold multi-GB host/HBM transients; beyond the cap the part-wise
+# host-pack engine (mxu2) takes over.
+_FUSED_MAX_CHAIN_OUT = 64 << 20
 # Chain-size caps for the dense packer: the native resolver's host
 # transient is the 4 B/byte code array (device HBM stays bounded by
 # part-wise launches, mxu2.PART_SUBS); the numpy fallback resolver's
@@ -463,7 +468,10 @@ def plan_decode(buf: np.ndarray, parsed: ParseResult, table: SeqTable,
                 stats.note_engine("resolve", chain)
             continue
         dense_cand.append(chain)
-    if dense_cand and engine != "mxu2":
+    fused_cand = [c for c in dense_cand
+                  if c.out_hi - c.out_lo <= _FUSED_MAX_CHAIN_OUT]
+    dense_cand = [c for c in dense_cand if c not in fused_cand]
+    if fused_cand and engine != "mxu2":
         from .device import fused as fu
 
         def _try(chs):
@@ -476,14 +484,14 @@ def plan_decode(buf: np.ndarray, parsed: ParseResult, table: SeqTable,
             plan.fused_prep = prep
 
         try:
-            _try(dense_cand)
-            dense_cand = []
+            _try(fused_cand)
+            fused_cand = []
         except fu.FusedOverflow:
-            if len(dense_cand) > 1:
+            if len(fused_cand) > 1:
                 # isolate the offending chains: budget overflows are a
                 # per-chain property (patch density, window pressure)
                 ok = []
-                for c in dense_cand:
+                for c in fused_cand:
                     try:
                         fu.prep_fused(
                             table.lit_len, table.match_len,
@@ -495,7 +503,8 @@ def plan_decode(buf: np.ndarray, parsed: ParseResult, table: SeqTable,
                         continue
                 if ok:
                     _try(ok)
-                    dense_cand = [c for c in dense_cand if c not in ok]
+                    fused_cand = [c for c in fused_cand if c not in ok]
+    dense_cand = dense_cand + fused_cand
     for chain in plan.fused_chains:
         if stats is not None:
             stats.note_engine("fused", chain)

@@ -1,0 +1,199 @@
+"""Parity-edge pinning (round-1 verdict, missing #2/#3/#4):
+
+* golden byte-identical ``lz4hdrinfo`` output (reference layout,
+  tool_lz4hdrinfo/lz4hdrinfo.adb:70-145) — only the banner line
+  differs (the reference prints its own name/copyright);
+* the two documented reference divergences (lz4tpu/stream.py module
+  docstring) locked in by tests;
+* multi-fault error precedence: for inputs with SEVERAL faults the
+  batched pipeline must raise exactly the error the streaming oracle
+  raises (the reference's single byte loop fixes the order).
+"""
+
+import io
+import pathlib
+import struct
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import lz4tpu
+from lz4tpu.constants import EndOfFrame, Reservation
+from lz4tpu.errors import Lz4Error, TooLittleMemory
+
+V = pathlib.Path("/root/reference/test_vectors_lz4")
+
+
+def _hdrinfo(data: bytes) -> tuple[int, str]:
+    import os
+
+    env = dict(os.environ, PYTHONPATH="/root/repo", JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-m", "lz4tpu.cli", "lz4hdrinfo"],
+        input=data, capture_output=True, env=env,
+    )
+    # drop the banner + blank line: the reference prints its own
+    # name/copyright there; everything below is byte-identical
+    lines = r.stdout.decode().splitlines()
+    return r.returncode, "\n".join(lines[2:])
+
+
+def test_hdrinfo_modern_golden():
+    rc, out = _hdrinfo((V / "t1111k.lz4").read_bytes())
+    assert rc == 0
+    assert out == (
+        "Declared Format        = 184d2204 (modern)\n"
+        "FLG                    = 74\n"
+        "    Version:64|128     = 01\n"
+        "    Block_Checksum:16  = TRUE\n"
+        "    Content_Size:8     = FALSE\n"
+        "    Content_Checksum:4 = TRUE\n"
+        "    Reserved:2         = FALSE\n"
+        "    Dictionary_ID:1    = FALSE\n"
+        "BD                     = 70\n"
+        "    Has_Reserved       = FALSE\n"
+        "    Block_Max_Size     = 4 MiB (07)\n"
+        "Header_Checksum        = 8e"
+    )
+
+
+def test_hdrinfo_modern_content_size_golden():
+    frame = lz4tpu.compress(b"x" * 23, content_size=True)
+    rc, out = _hdrinfo(frame)
+    assert rc == 0
+    # reference: U64'Image prints a leading space (lz4hdrinfo.adb:121)
+    assert "\nContent_Size           =  23\n" in out + "\n"
+    assert out.splitlines()[4] == "    Content_Size:8     = TRUE"
+
+
+def test_hdrinfo_legacy_golden():
+    rc, out = _hdrinfo((V / "z100legacy.lz4").read_bytes())
+    assert rc == 0
+    assert out == "Declared Format        = 184c2102 (legacy)"
+
+
+def test_hdrinfo_skippable_golden():
+    rc, out = _hdrinfo((V / "skippable.lz4").read_bytes())
+    assert rc == 0
+    assert out == (
+        "Declared Format        = 184d2a59 (skippable)\n"
+        "Content_Size           =  19"
+    )
+
+
+def test_hdrinfo_unsupported_golden():
+    rc, out = _hdrinfo(b"garbage!")
+    assert rc == 0
+    assert out == "Declared Format        = 62726167 (UNSUPPORTED)"
+
+
+def test_hdrinfo_truncated():
+    rc, out = _hdrinfo(b"\x04\x22\x4d")
+    assert rc == 1
+
+
+# ---------------------------------------------------------------------------
+# documented divergences (stream.py module docstring) — pinned
+# ---------------------------------------------------------------------------
+
+def test_skippable_does_not_downgrade_sticky_reservation():
+    """Divergence 1 (pinned): with FOR_ALL, a leading skippable frame
+    keeps the caller's reservation for later frames.  The reference
+    (lz4ada.adb:177 + adb:241-260) downgrades to 64 KiB and would then
+    refuse t1111k's 4 MiB blocks; we keep the user's policy sticky."""
+    data = (V / "skippable.lz4").read_bytes() + (V / "t1111k.lz4").read_bytes()
+    out = lz4tpu.decompress_host(data, lz4tpu.FOR_ALL)
+    assert out == (V / "t1111k.bin").read_bytes()
+
+
+def test_skippable_use_first_sizes_like_reference():
+    """Divergence 1, reference-matching half: with USE_FIRST a leading
+    skippable frame sizes buffers at 64 KiB exactly like the reference,
+    so a following 4 MiB-block frame must raise Too_Little_Memory."""
+    data = (V / "skippable.lz4").read_bytes() + (V / "t1111k.lz4").read_bytes()
+    with pytest.raises(TooLittleMemory):
+        lz4tpu.decompress_host(data, Reservation.USE_FIRST)
+
+
+def test_raw_block_fragmented_input():
+    """Divergence 2 (pinned): Init_For_Block mode assembles fragmented
+    input correctly.  The reference drops the first 4 cached bytes in
+    that mode (lz4ada.adb:654), corrupting any fragmented raw-block
+    feed; we decode it correctly at every chunk granularity."""
+    # the reference suite's raw "Hello, world." block (lz4test.adb:216)
+    blk = bytes([0xD0, 0x48, 0x65, 0x6C, 0x6C, 0x6F, 0x2C, 0x20,
+                 0x77, 0x6F, 0x72, 0x6C, 0x64, 0x2E])
+    for chunk in (1, 2, 3, 5, len(blk)):
+        ctx = lz4tpu.Decompressor.for_block(len(blk))
+        out = bytearray()
+        pos = 0
+        arr = np.frombuffer(blk, np.uint8)
+        while pos < len(blk):
+            got, produced = ctx.update(arr[pos:pos + chunk])
+            out += produced
+            pos += got if got else chunk
+        assert bytes(out) == b"Hello, world."
+        assert ctx.end_of_frame == EndOfFrame.YES
+
+
+# ---------------------------------------------------------------------------
+# multi-fault error precedence: pipeline == streaming oracle
+# ---------------------------------------------------------------------------
+
+def _stream_error(data: bytes):
+    from lz4tpu.api import _decompress_host_streaming
+
+    try:
+        _decompress_host_streaming(np.frombuffer(data, np.uint8),
+                                   lz4tpu.FOR_ALL)
+        return None
+    except Lz4Error as exc:
+        return type(exc), str(exc)
+
+
+def _pipeline_error(data: bytes):
+    from lz4tpu.pipeline import decompress_device
+
+    try:
+        decompress_device(data, interpret=True)
+        return None
+    except Lz4Error as exc:
+        return type(exc), str(exc)
+
+
+def _content_size_frame(payload: bytes) -> bytearray:
+    return bytearray(lz4tpu.compress(payload, content_size=True,
+                                     block_checksum=True))
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_multi_fault_precedence(seed):
+    """Inject TWO faults into one frame (among: content checksum,
+    declared content size, block checksum, match offset) and require
+    the batched pipeline's diagnostic to equal the streaming oracle's
+    byte-for-byte — the reference's single byte loop fixes which fault
+    wins (e.g. lz4ada.adb:463-523), and both of our paths must agree."""
+    rng = np.random.default_rng(seed)
+    payload = bytes(rng.integers(97, 123, 3000, dtype=np.uint8)) * 3
+    frame = _content_size_frame(payload)
+    faults = rng.choice(4, size=2, replace=False)
+    for f in faults:
+        if f == 0:      # corrupt the trailing content checksum
+            frame[-1] ^= 0x55
+        elif f == 1:    # lie about the declared content size
+            cur = struct.unpack("<Q", frame[6:14])[0]
+            frame[6:14] = struct.pack("<Q", cur + 7)
+        elif f == 2:    # corrupt the first block checksum byte
+            # block size word at 15 (after 4B magic + 2B FLG/BD + 8B
+            # size + 1B HC); checksum follows the block payload
+            bsz = struct.unpack("<I", frame[15:19])[0] & 0x7FFFFFFF
+            pos = 19 + bsz
+            frame[pos] ^= 0xAA
+        elif f == 3:    # corrupt a payload byte mid-block
+            frame[40] ^= 0x10
+    se = _stream_error(bytes(frame))
+    pe = _pipeline_error(bytes(frame))
+    assert se is not None, "no error raised by the streaming oracle"
+    assert pe == se
