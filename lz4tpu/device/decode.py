@@ -22,13 +22,14 @@ that fits the TPU's vector units:
 Encoding convention: values < 0 are resolved literal pointers
 (``-(comp_index) - 1``); values >= 0 are unresolved output positions.
 
-Performance note (measured on TPU v5e): the doubling step MUST be
-statically unrolled. The identical gather costs ~0.004 ms/2M elements
-unrolled but ~9 ms inside ``lax.while_loop``/``fori_loop`` — XLA's TPU
-loop emitter disables the fused gather fast path. We unroll
-``UNROLL_ITERS`` steps (covers chain depths to 2**UNROLL_ITERS) and
-return an ``unresolved`` flag; the pipeline re-invokes for the
-(pathological, never-seen-in-practice) deeper cases.
+Performance note (re-measured on TPU v5e, round 2): XLA per-element
+gathers cost ~13 ns/element here, so a full resolve of t1111k is
+~270 ms (0.004 GB/s) — this engine is the CORRECTNESS fallback, three
+orders of magnitude behind the routing kernels (device/fused.py,
+device/mxu2.py), never the fast path.  The doubling step is statically
+unrolled (``UNROLL_ITERS`` covers chain depths to 2**UNROLL_ITERS) and
+returns an ``unresolved`` flag; the pipeline re-invokes for deeper
+chains, so convergence is checked, not assumed.
 
 All shapes are static (bucketed by the pipeline); one XLA computation
 per bucket size.

@@ -302,23 +302,46 @@ def _verify_checksums(
 
 def _verify_checksums_device(
     buf: np.ndarray, parsed: ParseResult, out_dev, table: SeqTable,
-    interpret: bool = False,
+    interpret: bool = False, comp_dev=None,
 ) -> None:
-    """Checksum verification for HBM-resident output: block checksums
-    cover the (host-resident) compressed bytes and run on the native
-    engine; content checksums cover decoded output and run as the
-    Pallas stripe kernel over the device array — only lane states and
-    stripe tails cross the host<->device link."""
+    """Checksum verification for HBM-resident output: content checksums
+    cover decoded output and run as the Pallas stripe kernel over the
+    device array — only lane states and stripe tails cross the
+    host<->device link.  Block checksums cover the COMPRESSED bytes:
+    when the caller already staged them on device (``comp_dev``), the
+    batched per-block kernel hashes every block in one launch
+    (xxh32_blocks_device); otherwise they run on the native engine over
+    the host-resident buffer (faster than shipping bytes to hash
+    them)."""
     from . import native
-    from .device.xxh32_pallas import xxh32_of_device_array
+    from .device.xxh32_pallas import (
+        xxh32_blocks_device,
+        xxh32_of_device_array,
+    )
 
+    blks = [
+        blk
+        for frame in parsed.frames
+        for blk in frame.blocks
+        if blk.checksum is not None
+    ]
+    if blks and comp_dev is not None:
+        digests = xxh32_blocks_device(
+            comp_dev,
+            [b.comp_off for b in blks],
+            [b.comp_len for b in blks],
+            interpret=interpret,
+        )
+        for blk, computed in zip(blks, digests):
+            if computed != blk.checksum:
+                raise err_block_checksum(blk.checksum, computed)
+    else:
+        for blk in blks:
+            payload = buf[blk.comp_off:blk.comp_off + blk.comp_len]
+            computed = native.native_xxh32(payload)
+            if computed != blk.checksum:
+                raise err_block_checksum(blk.checksum, computed)
     for frame in parsed.frames:
-        for blk in frame.blocks:
-            if blk.checksum is not None:
-                payload = buf[blk.comp_off:blk.comp_off + blk.comp_len]
-                computed = native.native_xxh32(payload)
-                if computed != blk.checksum:
-                    raise err_block_checksum(blk.checksum, computed)
         if frame.content_checksum is not None:
             lo = int(table.frame_out_start[frame.frame_id])
             hi = int(table.frame_out_start[frame.frame_id + 1])
