@@ -10,6 +10,7 @@ if python -c "import coverage" 2>/dev/null; then
     python -m coverage report -m
     python -m coverage html -d cov 2>/dev/null && echo "HTML report: cov/"
 else
-    echo "coverage.py not installed; running plain tests" >&2
-    python -m pytest tests/ -q
+    echo "coverage.py not installed; using the stdlib sys.monitoring" >&2
+    echo "harness (tools/pycov.py) -> COVERAGE.md" >&2
+    python tools/pycov.py tests/ -q
 fi
