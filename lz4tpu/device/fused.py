@@ -862,21 +862,47 @@ def _decode_fused_device(seqrec, lits, winq, scal, patch,
     return rows.astype(jnp.uint8), ring_out
 
 
+PART_SUBS = 8192       # substeps per launch (32 MiB output)
+
+
 def decode_fused_rows_on_device(prep: FusedPrep, interpret: bool = False,
-                                ring_init=None):
+                                ring_init=None,
+                                part_subs: int | None = None):
     """Decode a FusedPrep on device; returns flat uint8 rows as a device
-    array (n_sub * SUB,)."""
+    array (n_sub * SUB,).
+
+    Chains beyond ``part_subs`` substeps split at substep boundaries
+    across launches, each seeding its ring with the previous part's
+    final 64 KiB (the device analog of the reference's retained
+    history across Update calls, lz4ada.adb:678-680) — the same
+    part-wise bound the host-pack engine uses (mxu2.PART_SUBS)."""
     import jax.numpy as jnp
 
     if prep.n_sub == 0:
         return jnp.zeros(0, jnp.uint8)
-    rows, _ring = _decode_fused_device(
-        jnp.asarray(prep.seqrec), jnp.asarray(prep.lits),
-        jnp.asarray(prep.winq), jnp.asarray(prep.scal),
-        jnp.asarray(prep.patch),
-        ring_init, n_sub=prep.n_sub, interpret=interpret,
-    )
-    return rows.reshape(-1)
+    part = part_subs or PART_SUBS
+    if prep.n_sub <= part:
+        rows, _ring = _decode_fused_device(
+            jnp.asarray(prep.seqrec), jnp.asarray(prep.lits),
+            jnp.asarray(prep.winq), jnp.asarray(prep.scal),
+            jnp.asarray(prep.patch),
+            ring_init, n_sub=prep.n_sub, interpret=interpret,
+        )
+        return rows.reshape(-1)
+    lits_dev = jnp.asarray(prep.lits)
+    parts = []
+    ring = ring_init
+    for p0 in range(0, prep.n_sub, part):
+        p1 = min(p0 + part, prep.n_sub)
+        rows, ring = _decode_fused_device(
+            jnp.asarray(prep.seqrec[p0:p1]), lits_dev,
+            jnp.asarray(prep.winq[p0:p1]),
+            jnp.asarray(prep.scal[p0:p1]),
+            jnp.asarray(prep.patch[p0:p1]),
+            ring, n_sub=p1 - p0, interpret=interpret,
+        )
+        parts.append(rows.reshape(-1))
+    return jnp.concatenate(parts)
 
 
 def decode_fused(prep: FusedPrep, interpret: bool = False) -> list:

@@ -134,3 +134,20 @@ def test_native_prep_matches_numpy(name):
     assert a.n_patches == b.n_patches
     assert a.n_seq_recs == b.n_seq_recs
     assert a.out_spans == b.out_spans
+
+
+def test_partwise_launch_ring_carry():
+    """Part-wise launches with ring carry must be bit-identical to one
+    launch (device transients stay bounded for giant chains)."""
+    data, prep = _prep("t300k")
+    ref = decompress_host(data)
+    import jax
+
+    one = np.asarray(jax.device_get(
+        fused.decode_fused_rows_on_device(prep, interpret=True)))
+    parts = np.asarray(jax.device_get(
+        fused.decode_fused_rows_on_device(prep, interpret=True,
+                                          part_subs=16)))
+    assert (one == parts).all()
+    n_out = prep.out_spans[0][3]
+    assert bytes(parts[:n_out]) == ref
