@@ -639,6 +639,8 @@ def _make_kernel(ablate: frozenset = frozenset()):
             k <<= 1
         return c + q - m                     # c + exclusive row carry
 
+    unified = "unified" in ablate
+
     def kern(wq_ref, seqrec_ref, lit_ref, scal_ref, patch_ref,
              ring_in_ref, out_ref, ring_out_ref, kmat, pscr):
         i = pl.program_id(0)
@@ -653,8 +655,78 @@ def _make_kernel(ablate: frozenset = frozenset()):
         win = lit_ref[0, pl.ds(pl.multiple_of(wo, 8), WPAGES), :]
         kmat[RPAGES:KPAGES, :] = win.astype(jnp.int32).astype(jnp.bfloat16)
 
+        if unified:
+            # ---- ONE scatter matmul for seq records AND patches ----
+            # (three differently-shaped matmuls per body stall the MXU
+            # pipeline between shape switches — measured ~0.9 us when
+            # the 96x768 patch matmul joins the routing matmul; one
+            # 320x1856 scatter wins despite 60% more FLOPs)
+            K = SEQ_MAX + PATCH_MAX
+            r0 = jnp.concatenate(
+                [seqrec_ref[0, 0, r:r + 1, :] for r in range(8)], axis=1
+            )
+            r1 = jnp.concatenate(
+                [seqrec_ref[0, 1, r:r + 1, :] for r in range(8)], axis=1
+            )
+            live = r0 != 0
+            pos12 = r0 & 0xFFF
+            planes = [
+                ((r0 >> 12) & 255) - 128,
+                ((r0 >> 20) & 255) - 128,
+                (r1 & 255) - 128,
+                ((r1 >> 8) & 255) - 128,
+                ((r0 >> 28) & 7) - 4,
+                ((r1 >> 16) & 255) - 128,
+                ((r1 >> 24) & 255) - 128,
+            ]
+            prec = jnp.concatenate(
+                [patch_ref[0, r:r + 1, :] for r in range(8)], axis=1
+            )
+            ppos = prec >> 18
+            code18 = prec & 0x3FFFF
+            pplanes = [code18 & 255, (code18 >> 8) & 255, code18 >> 16]
+            zs = jnp.zeros((1, SEQ_MAX), jnp.int32)
+            zp = jnp.zeros((1, PATCH_MAX), jnp.int32)
+            pos_all = jnp.concatenate([pos12, ppos], axis=1)   # (1, K)
+            r_all = pos_all >> 7
+            l_all = pos_all & 127
+            hit = (jax.lax.broadcasted_iota(
+                jnp.int32, (NCHUNK, K), 0) == r_all).astype(jnp.int32)
+            rows = [
+                jnp.concatenate([jnp.where(live, pp, 0), zp], axis=1)
+                for pp in planes
+            ] + [jnp.concatenate([zs, pp], axis=1) for pp in pplanes]
+            A = jnp.concatenate(
+                [(hit * r).astype(jnp.bfloat16) for r in rows], axis=0
+            )                                    # (10*NCHUNK, K)
+            B = (jax.lax.broadcasted_iota(
+                jnp.int32, (CHUNK, K), 0) == l_all).astype(jnp.bfloat16)
+            ps = jax.lax.dot_general(
+                A, B, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)                  # (10*NCHUNK, 128)
+            n = NCHUNK
+            dUm = ps[0:n] + (ps[n:2 * n] << 8)
+            dVm = (ps[2 * n:3 * n] + (ps[3 * n:4 * n] << 8)
+                   + (ps[4 * n:5 * n] << 16))
+            dBm = ps[5 * n:6 * n] + (ps[6 * n:7 * n] << 8)
+            pv = (ps[7 * n:8 * n] + (ps[8 * n:9 * n] << 8)
+                  + (ps[9 * n:] << 16))
+            U = _cum2d(dUm) + scal_ref[i % 8, 3]
+            V = _cum2d(dVm) + scal_ref[i % 8, 4]
+            Bb = _cum2d(dBm) + scal_ref[i % 8, 5]
+            jrow = (jax.lax.broadcasted_iota(
+                jnp.int32, (NCHUNK, CHUNK), 0) * CHUNK
+                + jax.lax.broadcasted_iota(
+                    jnp.int32, (NCHUNK, CHUNK), 1))
+            pos17g = jnp.where(jrow < Bb, jrow + U + U_BIAS,
+                               (jrow + V) & 0xFFFF)
+            pos17g = jnp.where(pv >= TAG, pv - TAG, pos17g)
+
         # ---- seq-record scatter: stacked digit planes, one matmul ----
-        if "expand" in ablate:
+        if unified:
+            pass
+        elif "expand" in ablate:
             pos17g = (jax.lax.broadcasted_iota(
                 jnp.int32, (NCHUNK, CHUNK), 0) * CHUNK
                 + jax.lax.broadcasted_iota(
@@ -708,7 +780,7 @@ def _make_kernel(ablate: frozenset = frozenset()):
                                (jrow + V) & 0xFFFF)
 
         # ---- patch scatter: stacked-plane bf16 outer product ----
-        if "patch" not in ablate:
+        if "patch" not in ablate and not unified:
             prec = jnp.concatenate(
                 [patch_ref[0, r:r + 1, :] for r in range(8)], axis=1
             )                                    # (1, PATCH_MAX)

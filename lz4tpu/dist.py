@@ -272,6 +272,26 @@ def decode_sharded(table, buf: np.ndarray, mesh: Mesh) -> np.ndarray:
 # Chain-parallel decode: full-rate MXU kernel per device
 # ---------------------------------------------------------------------------
 
+def _mesh_devices(mesh: Mesh) -> list:
+    """Mesh devices ordered round-robin across processes, so greedy
+    chain assignment spreads load over HOSTS first (mesh.devices.flat
+    is process-major: without interleaving, a few large chains all
+    land on host 0's devices and host shares skew)."""
+    devs = list(mesh.devices.flat)
+    by_proc: dict = {}
+    for d in devs:
+        by_proc.setdefault(d.process_index, []).append(d)
+    cols = list(by_proc.values())
+    out = []
+    i = 0
+    while len(out) < len(devs):
+        for col in cols:
+            if i < len(col):
+                out.append(col[i])
+        i += 1
+    return out
+
+
 def _balance_chains(chains, n_dev: int) -> list[list[int]]:
     """Greedy largest-first assignment of chains to devices, balanced
     by *output* bytes (expansion-ratio skew means input bytes are the
@@ -307,7 +327,7 @@ def _launch_chain_groups(table, buf: np.ndarray, mesh: Mesh,
     from .pipeline import _chains_of, plan_decode
 
     chains = _chains_of(table)
-    devices = list(mesh.devices.flat)
+    devices = _mesh_devices(mesh)
     groups = _balance_chains(chains, len(devices))
     my_proc = jax.process_index()
 
@@ -474,7 +494,7 @@ def _multihost_ordered_merge(out: np.ndarray, table, mesh: Mesh) -> np.ndarray:
     from .pipeline import _chains_of
 
     chains = _chains_of(table)
-    devices = list(mesh.devices.flat)
+    devices = _mesh_devices(mesh)
     groups = _balance_chains(chains, len(devices))
     n_proc = jax.process_count()
     proc_chains: list[list[int]] = [[] for _ in range(n_proc)]

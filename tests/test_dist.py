@@ -1,6 +1,7 @@
 """Multi-device (shard_map) decode tests on the virtual 8-CPU mesh."""
 
 import jax
+import jax.numpy as jnp
 import pytest
 
 from lz4tpu import compress, decompress_host
@@ -148,3 +149,73 @@ def test_chain_sharded_to_device(mesh):
         out[lo:lo + got.size] = got.tobytes()
     assert bytes(out) == want
     assert len(devices_used) > 1, devices_used
+
+
+def test_deep_chain_convergence_net():
+    """Adversarial chain deeper than 2**16 hops inside one span
+    (round-1 verdict, next #3): the round-1 resolver capped local
+    pointer doubling at 16 rounds with NO unresolved check, so in-span
+    pointers leaked into the tail substitution and produced silently
+    wrong bytes.  This test (a) proves the capped attempt leaves
+    unresolved in-span pointers AND wrong bytes, and (b) that
+    decode_sharded's convergence net retries to the exact result."""
+    import numpy as np
+
+    from lz4tpu import dist
+    from lz4tpu.pipeline import SeqTable
+
+    # seq 0 emits "ABCDE"; every later seq copies the previous 5 bytes
+    # (mo=5): resolving byte i takes ~i/5 hops -> depth ~ span/5.
+    N = 600_000
+    lit = b"ABCDE"
+    n_out = 5 * (N + 1)
+    out_start = (np.arange(N + 1, dtype=np.int64) * 5).astype(np.int32)
+    lit_len = np.zeros(N + 1, np.int32)
+    lit_len[0] = 5
+    lit_src = np.zeros(N + 1, np.int32)
+    match_len = np.full(N + 1, 5, np.int32)
+    match_len[0] = 0
+    match_off = np.full(N + 1, 5, np.int32)
+    table = SeqTable(
+        out_start=out_start, lit_len=lit_len, lit_src=lit_src,
+        match_len=match_len, match_off=match_off, n_out=n_out,
+        frame_out_start=np.array([0, n_out], np.int64), spans=[],
+    )
+    buf = np.frombuffer(lit, np.uint8)
+    mesh = dist.make_mesh()
+    expected = (lit * (N + 1))
+
+    # (a) the capped first attempt: unresolved fires, bytes are WRONG
+    from lz4tpu.device import decode as dev
+
+    n_dev = mesh.devices.size
+    span = max(1024, -(-n_out // n_dev))
+    span = (span + 127) & ~127
+    w_tail = min(dist.HISTORY_SIZE, span)
+    s_pad = dev.bucket(out_start.size, minimum=128)
+    args = (
+        jnp.asarray(dev.pad_to(buf, dev.bucket(buf.size), 0)),
+        jnp.asarray(dev.pad_to(out_start, s_pad, span * n_dev)),
+        jnp.asarray(dev.pad_to(lit_len, s_pad, 0)),
+        jnp.asarray(dev.pad_to(lit_src, s_pad, 0)),
+        jnp.asarray(dev.pad_to(match_off, s_pad, 1)),
+        jnp.asarray(dev.pad_to(
+            (lit_len + match_len) > 0, s_pad, False)),
+        jnp.int32(n_out),
+    )
+    capped_iters = min(16, dist._ceil_log2(max(2, out_start.size)) + 1)
+    assert span // 5 > (1 << capped_iters), "test must exceed the cap"
+    out_capped, unresolved = dist._sharded_resolve(
+        *args, span=span, w_tail=w_tail, local_iters=capped_iters,
+        tail_iters=dist._ceil_log2(max(2, n_dev)) + 1, mesh=mesh,
+    )
+    assert bool(np.any(np.asarray(unresolved))), (
+        "convergence net must flag the capped attempt"
+    )
+    assert bytes(np.asarray(out_capped)[:n_out]) != expected, (
+        "without the net these wrong bytes would have shipped"
+    )
+
+    # (b) the public path retries at provable depth and is exact
+    out = dist.decode_sharded(table, buf, mesh)
+    assert bytes(out[:n_out]) == expected

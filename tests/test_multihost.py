@@ -31,6 +31,20 @@ assert jax.device_count() == 8 and jax.local_device_count() == 4
 mesh = make_mesh()
 
 rng = np.random.default_rng(13)
+
+# Instrument the ordered merge: each host may ship only its own chain
+# bytes padded to the largest per-host share — never a full-size
+# n_out array per host (round-1 verdict, next #4).  Record every
+# process_allgather payload shape to prove it.
+from jax.experimental import multihost_utils as _mhu
+import lz4tpu.dist as _dist
+_shipped = []
+_orig_pag = _mhu.process_allgather
+def _spy_pag(x, tiled=False):
+    _shipped.append(getattr(x, "shape", None))
+    return _orig_pag(x, tiled=tiled)
+_mhu.process_allgather = _spy_pag
+
 # (a) multi-chain corpus -> chain-parallel path (mixed engines)
 frames = (
     compress(b"\x00" * 50_000)
@@ -38,7 +52,16 @@ frames = (
                + rng.integers(0, 256, 3000, dtype=np.uint8).tobytes())
     + compress(bytes([9]) * 40_000)
 )
-assert decompress_sharded(frames, mesh) == decompress_host(frames)
+ref = decompress_host(frames)
+assert decompress_sharded(frames, mesh) == ref
+n_out = len(ref)
+merge_shapes = [sh for sh in _shipped if sh and len(sh) == 1]
+assert merge_shapes, "ordered merge must have exchanged chain shares"
+biggest = max(sh[0] for sh in merge_shapes)
+assert biggest < n_out, (
+    f"merge shipped a full-size array ({biggest} >= {n_out}): "
+    "O(n_out x hosts) DCN traffic"
+)
 
 # (b) single-chain corpus -> span-sharded resolver + tail all_gather
 one = compress(b"span sharded single chain payload " * 2000)
