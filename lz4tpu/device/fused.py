@@ -304,29 +304,44 @@ def _prep_fused_native(lit_len, match_len, match_off, lit_src, buf,
         nst, max(lit_acc, 1)
     )
     out_spans = []
-    n_recs = n_patches = 0
     buf8 = np.ascontiguousarray(buf, np.uint8)
-    for (cid, lo, hi, n_lit, n_out, n_sub_c, lit_base, sub0) in metas:
+
+    def _one(meta):
+        (cid, lo, hi, n_lit, n_out, n_sub_c, lit_base, sub0) = meta
+        return native.prep_fused_chain(
+            np.ascontiguousarray(lit_len[lo:hi], np.int32),
+            np.ascontiguousarray(match_len[lo:hi], np.int32),
+            np.ascontiguousarray(match_off[lo:hi], np.int32),
+            np.ascontiguousarray(lit_src[lo:hi], np.int32),
+            buf8, lit_base, n_win,
+            lits_flat[lit_base:lit_base + max(n_lit, 1)],
+            winq[sub0:sub0 + n_sub_c],
+            scal[sub0:sub0 + n_sub_c],
+            seqrec[sub0:sub0 + n_sub_c],
+            patch[sub0:sub0 + n_sub_c],
+        )
+
+    live = [m for m in metas if m[5] > 0]
+    for (cid, _lo, _hi, _nl, n_out, n_sub_c, _lb, sub0) in metas:
         out_spans.append((cid, sub0, sub0 + n_sub_c, n_out))
-        if n_sub_c == 0:
-            continue
-        try:
-            nr, npat = native.prep_fused_chain(
-                np.ascontiguousarray(lit_len[lo:hi], np.int32),
-                np.ascontiguousarray(match_len[lo:hi], np.int32),
-                np.ascontiguousarray(match_off[lo:hi], np.int32),
-                np.ascontiguousarray(lit_src[lo:hi], np.int32),
-                buf8, lit_base, n_win,
-                lits_flat[lit_base:lit_base + max(n_lit, 1)],
-                winq[sub0:sub0 + n_sub_c],
-                scal[sub0:sub0 + n_sub_c],
-                seqrec[sub0:sub0 + n_sub_c],
-                patch[sub0:sub0 + n_sub_c],
-            )
-        except ValueError as exc:
-            raise FusedOverflow(str(exc)) from None
-        n_recs += nr
-        n_patches += npat
+    threads = native.pack_threads()
+    try:
+        if len(live) > 1 and threads > 1:
+            # chains prep independently into disjoint array views and
+            # the C function releases the GIL (ctypes): thread-pool
+            # across chains (multi-frame / independent-block inputs)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(threads, len(live))
+            ) as ex:
+                results = list(ex.map(_one, live))
+        else:
+            results = [_one(m) for m in live]
+    except ValueError as exc:
+        raise FusedOverflow(str(exc)) from None
+    n_recs = sum(r[0] for r in results)
+    n_patches = sum(r[1] for r in results)
     return FusedPrep(
         seqrec=seqrec, lits=_build_windows(lits_flat[:lit_acc], n_win),
         winq=winq, scal=scal, patch=patch,
@@ -840,11 +855,22 @@ def _make_kernel(ablate: frozenset = frozenset()):
             pc_eff = jnp.where(jnp.logical_or(cc_a, cc_b), -2, pc)
             iota_p = jax.lax.broadcasted_iota(
                 jnp.int32, (KPAGES, COLS), 0)
-            ohp = (
-                (iota_p == pa).astype(jnp.bfloat16)
-                + (iota_p == pb_eff).astype(jnp.bfloat16) * 256
-                + (iota_p == pc_eff).astype(jnp.bfloat16) * 65536
-            )
+            if "ohint" in ablate:
+                # int-composed one-hot, single bf16 convert (the three
+                # packed weights never collide: pb_eff/pc_eff demote
+                # duplicates, so values are {0,1,256,65536} — all
+                # bf16-exact)
+                ohp = (
+                    jnp.where(iota_p == pa, 1, 0)
+                    + jnp.where(iota_p == pb_eff, 256, 0)
+                    + jnp.where(iota_p == pc_eff, 65536, 0)
+                ).astype(jnp.bfloat16)
+            else:
+                ohp = (
+                    (iota_p == pa).astype(jnp.bfloat16)
+                    + (iota_p == pb_eff).astype(jnp.bfloat16) * 256
+                    + (iota_p == pc_eff).astype(jnp.bfloat16) * 65536
+                )
             yT = jax.lax.dot_general(
                 kmat[...], ohp, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -852,11 +878,14 @@ def _make_kernel(ablate: frozenset = frozenset()):
             yi = yT.astype(jnp.int32)
             iota_r = jax.lax.broadcasted_iota(
                 jnp.int32, (ROWB, COLS), 0)
-            sels = [
-                jnp.sum(jnp.where(iota_r == q, yi, 0), axis=0,
-                        keepdims=True)
-                for q in slots_q
-            ]
+            if "nosel" in ablate:      # timing probe only: wrong bytes
+                sels = [yi[:1, :] + q for q in slots_q]
+            else:
+                sels = [
+                    jnp.sum(jnp.where(iota_r == q, yi, 0), axis=0,
+                            keepdims=True)
+                    for q in slots_q
+                ]
             g0 = sels[0] & 255
             g1 = jnp.where(cb2, sels[1] & 255, (sels[1] >> 8) & 255)
             g2 = jnp.where(cc_a, sels[2] & 255,
