@@ -99,6 +99,7 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         c.c_int64, c.c_int64,                     # lit_base, n_win
         u8p, i32p, i32p, i32p, i32p,              # lits, winq, scal,
         i64p,                                     # seqrec, patch, counts
+        c.c_int32,                                # n_threads
     ]
     return lib
 
@@ -357,7 +358,7 @@ _PREP_OVERFLOW = {
 
 
 def prep_fused_chain(ll, ml, mo, ls, buf, lit_base, n_win,
-                     lits, winq, scal, seqrec, patch):
+                     lits, winq, scal, seqrec, patch, n_threads=None):
     """Native fused-engine prep for one chain (device/fused.py layout).
 
     Writes into the caller's zeroed per-chain array views; returns
@@ -376,6 +377,8 @@ def prep_fused_chain(ll, ml, mo, ls, buf, lit_base, n_win,
         _u8ptr(_as_u8(buf)), c.c_int64(lit_base), c.c_int64(n_win),
         _u8ptr(lits), ip(winq), ip(scal), ip(seqrec), ip(patch),
         counts.ctypes.data_as(c.POINTER(c.c_int64)),
+        c.c_int32(n_threads if n_threads is not None
+                  else pack_threads()),
     )
     if st != 0:
         raise ValueError(_PREP_OVERFLOW.get(st, f"prep status {st}"))

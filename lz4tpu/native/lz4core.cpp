@@ -1223,10 +1223,189 @@ static inline int fz_digits2(int64_t x, int64_t* d0, int64_t* d1,
     return 0;
 }
 
+// Shared context for the fused-prep phases (threaded by ranges).
+typedef struct {
+    const int32_t *ll, *ml, *mo, *ls;
+    int64_t S;
+    const uint8_t* buf;
+    int64_t lit_base, n_win;
+    uint8_t* lits;
+    int32_t* winq;
+    int32_t* scal;
+    int32_t* seqrec;
+    int32_t* patch;
+    int32_t* counts;
+    const int64_t *starts, *litpos;
+    const int64_t* wb_arr;
+    int64_t n_sub, n_out;
+} fz_ctx;
+
+#define FZ_LLv(c, s) ((s) < (c)->S ? (int64_t)(c)->ll[(s)] : 0)
+#define FZ_MOv(c, s) ((s) < (c)->S ? (int64_t)(c)->mo[(s)] : 1)
+
+// phase 2: per-substep scalars for substeps [i_lo, i_hi)
+static int32_t fz_scal_range(const fz_ctx* c, int64_t i_lo, int64_t i_hi,
+                             int64_t* wb_out) {
+    int64_t s0p = fz_owner(c->starts, c->S + 1, i_lo * FZ_SUB);
+    int64_t csp = fz_owner(c->starts, c->S + 1,
+                           i_lo > 0 ? i_lo * FZ_SUB - 1 : 0);
+    for (int64_t i = i_lo; i < i_hi; ++i) {
+        const int64_t sb = i * FZ_SUB;
+        while (c->starts[s0p + 1] <= sb) ++s0p;
+        int64_t local0 = sb - c->starts[s0p];
+        int64_t l0 = FZ_LLv(c, s0p);
+        if (local0 < 0) local0 = 0;
+        if (local0 > l0) local0 = l0;
+        const int64_t consumed = c->litpos[s0p] + local0;
+        int64_t wq = consumed / FZ_WINQ;
+        if (wq > c->n_win - 1) wq = c->n_win - 1;
+        const int64_t wo = ((consumed - wq * FZ_WINQ) >> 8) & ~(int64_t)7;
+        const int64_t wabs = wq * (FZ_WINQ >> 8) + wo;
+        const int64_t wbb = wabs << 8;
+        const int64_t pb = sb > 0 ? sb - 1 : 0;
+        while (c->starts[csp + 1] <= pb) ++csp;
+        int64_t u0 = FZ_SUB + (c->litpos[csp] - wbb)
+                     - (c->starts[csp] - sb);
+        if (u0 < 0) u0 = 0;
+        if (u0 > 16383) u0 = 16383;
+        const int64_t v0 = (sb - FZ_MOv(c, csp)) & 0xFFFF;
+        int64_t b0 = c->starts[csp] + FZ_LLv(c, csp) - sb;
+        if (b0 < 0) b0 = 0;
+        if (b0 > 8191) b0 = 8191;
+        c->winq[i] = (int32_t)wq;
+        c->scal[i * 8 + 0] = (int32_t)((i * (FZ_SUB / 256)) % 256);
+        c->scal[i * 8 + 1] = (int32_t)wo;
+        c->scal[i * 8 + 2] = (int32_t)wabs;
+        c->scal[i * 8 + 3] = (int32_t)u0;
+        c->scal[i * 8 + 4] = (int32_t)v0;
+        c->scal[i * 8 + 5] = (int32_t)b0;
+        c->scal[i * 8 + 6] = 0;
+        c->scal[i * 8 + 7] = 0;
+        wb_out[i] = wbb;
+    }
+    return 0;
+}
+
+// phase 3: sequence delta records whose start lies in substeps
+// [i_lo, i_hi); identical per-substep slot/delta semantics to the
+// serial pass because ranges align to substep boundaries.
+static int32_t fz_records_range(const fz_ctx* c, int64_t i_lo,
+                                int64_t i_hi, int64_t* nrec_out) {
+    const int64_t lo_b = i_lo * FZ_SUB, hi_b = i_hi * FZ_SUB;
+    int64_t s = fz_owner(c->starts, c->S + 1, lo_b);
+    if (c->starts[s] < lo_b) ++s;
+    int64_t nrec = 0, cur_sub = -1, slot = 0;
+    int64_t prevU = 0, prevV = 0, prevB = 0;
+    for (; s < c->S && c->starts[s] < hi_b; ++s) {
+        if ((int64_t)c->ll[s] + c->ml[s] <= 0) continue;
+        const int64_t st = c->starts[s];
+        const int64_t sub_i = st >> 12;          // FZ_SUB == 4096
+        const int64_t pos12 = st - sub_i * FZ_SUB;
+        const int64_t U = FZ_SUB + (c->litpos[s] - c->wb_arr[sub_i])
+                          - pos12;
+        if (U <= 0 || U >= 16384) return -15;
+        const int64_t V = (sub_i * FZ_SUB - c->mo[s]) & 0xFFFF;
+        int64_t B = pos12 + c->ll[s];
+        if (B > 8191) B = 8191;
+        int64_t pu, pv, pb2;
+        if (sub_i == cur_sub) { pu = prevU; pv = prevV; pb2 = prevB; }
+        else {
+            cur_sub = sub_i; slot = 0;
+            pu = c->scal[sub_i * 8 + 3];
+            pv = c->scal[sub_i * 8 + 4];
+            pb2 = c->scal[sub_i * 8 + 5];
+        }
+        if (slot >= FZ_SEQ_MAX) return -10;
+        int64_t du0, du1, cu, dv0, dv1, cv, db0, db1, cb;
+        fz_digits2(U - pu, &du0, &du1, &cu);
+        fz_digits2(V - pv, &dv0, &dv1, &cv);
+        fz_digits2(B - pb2, &db0, &db1, &cb);
+        if (cu != 0 || cb != 0 || cv < -3 || cv > 3) return -12;
+        c->seqrec[(sub_i * 2 + 0) * FZ_SEQ_MAX + slot] = (int32_t)(
+            pos12 | ((du0 + 128) << 12) | ((du1 + 128) << 20)
+            | ((cv + 4) << 28));
+        c->seqrec[(sub_i * 2 + 1) * FZ_SEQ_MAX + slot] = (int32_t)(
+            (dv0 + 128) | ((dv1 + 128) << 8) | ((db0 + 128) << 16)
+            | ((db1 + 128) << 24));
+        ++slot; ++nrec;
+        prevU = U; prevV = V; prevB = B;
+    }
+    *nrec_out = nrec;
+    return 0;
+}
+
+// phase 4: in-substep patches whose TARGET substep lies in
+// [i_lo, i_hi) (one writer per substep: no slot races, serial order).
+static int32_t fz_patch_range(const fz_ctx* c, int64_t i_lo,
+                              int64_t i_hi, int64_t* npat_out) {
+    const int64_t lo_b = i_lo * FZ_SUB, hi_b = i_hi * FZ_SUB;
+    int64_t npat = 0;
+    int64_t s = fz_owner(c->starts, c->S + 1, lo_b);
+    for (; s < c->S && c->starts[s] < hi_b; ++s) {
+        if (c->ml[s] <= 0 || c->mo[s] >= FZ_SUB) continue;
+        const int64_t moff = c->mo[s];
+        const int64_t mstart = c->starts[s] + c->ll[s];
+        const int64_t mend = c->starts[s + 1];
+        int64_t cur_lo = mstart;
+        int pieces = 0;
+        while (cur_lo < mend) {
+            if (++pieces > 64) return -16;
+            const int64_t si = cur_lo >> 12;
+            const int64_t sb = si * FZ_SUB;
+            int64_t pe = sb + FZ_SUB;
+            if (mend < pe) pe = mend;
+            if (sb < lo_b || sb >= hi_b) { cur_lo = pe; continue; }
+            int64_t plo = sb + moff;
+            if (cur_lo > plo) plo = cur_lo;
+            if (plo >= pe) { cur_lo = pe; continue; }
+            int64_t hint = fz_owner(c->starts, c->S + 1, plo - moff);
+            for (int64_t p = plo; p < pe; ++p) {
+                int64_t p2 = p, code = 0;
+                int depth = 0;
+                for (;;) {
+                    if (++depth > 64) return -14;
+                    int64_t s2;
+                    if (depth == 1) {
+                        s2 = s;
+                    } else if (depth == 2) {
+                        while (c->starts[hint + 1] <= p2) ++hint;
+                        s2 = hint;
+                    } else {
+                        s2 = fz_owner(c->starts, c->S + 1, p2);
+                    }
+                    const int64_t local = p2 - c->starts[s2];
+                    if (local < FZ_LLv(c, s2)) {
+                        const int64_t lit_rel =
+                            c->litpos[s2] + local - c->wb_arr[si];
+                        if (lit_rel < 0 || lit_rel >= FZ_WPAGES * 256)
+                            return -13;
+                        code = 65536 + lit_rel;
+                        break;
+                    }
+                    const int64_t hop = p2 - FZ_MOv(c, s2);
+                    if (hop < sb) { code = hop & 0xFFFF; break; }
+                    p2 = hop;
+                }
+                const int64_t slot2 = c->counts[si]++;
+                if (slot2 >= FZ_PATCH_MAX) return -11;
+                c->patch[si * FZ_PATCH_MAX + slot2] =
+                    (int32_t)(((p - sb) << 18) | code | FZ_TAG);
+                ++npat;
+            }
+            cur_lo = pe;
+        }
+    }
+    *npat_out = npat;
+    return 0;
+}
+
 // Returns 0 on success; negative overflow codes:
 // -10 seq-record budget, -11 patch budget, -12 digit range,
 // -13 patch literal outside window, -14 patch chain depth,
 // -15 literal affine constant range, -16 match spans cross >64 substeps
+// n_threads > 1 splits phases 2-4 by substep ranges (bit-identical to
+// the serial pass: ranges align to substep boundaries and every
+// substep has exactly one writer).
 int32_t lz4tpu_prep_fused(
     const int32_t* ll, const int32_t* ml, const int32_t* mo,
     const int32_t* ls, int64_t S,
@@ -1237,191 +1416,93 @@ int32_t lz4tpu_prep_fused(
     int32_t* scal,           // [n_sub * 8]
     int32_t* seqrec,         // [n_sub * 2 * FZ_SEQ_MAX]
     int32_t* patch,          // [n_sub * FZ_PATCH_MAX]
-    int64_t* out_counts) {   // [2]: n_seq_recs, n_patches
-    int32_t ret = 0;
+    int64_t* out_counts,     // [2]: n_seq_recs, n_patches
+    int32_t n_threads) {
     int64_t* starts = (int64_t*)malloc((size_t)(S + 2) * sizeof(int64_t));
     int64_t* litpos = (int64_t*)malloc((size_t)(S + 2) * sizeof(int64_t));
-    int64_t* wb_arr = NULL;
-    int32_t* counts = NULL;
-    if (!starts || !litpos) { ret = -99; goto done; }
-    {
-        int64_t out = 0, lp = lit_base;
-        for (int64_t s = 0; s < S; ++s) {
-            starts[s] = out; litpos[s] = lp;
-            const int64_t n = ll[s];
-            if (n) {
-                // short literal runs dominate (avg < 1 B on text):
-                // inline the copy; memcpy call overhead would eat ms
-                uint8_t* d = lits + (lp - lit_base);
-                const uint8_t* q = buf + ls[s];
-                if (n <= 16) {
-                    for (int64_t k = 0; k < n; ++k) d[k] = q[k];
-                } else {
-                    memcpy(d, q, (size_t)n);
-                }
-            }
-            out += n + ml[s];
-            lp += n;
-        }
-        const int64_t n_out = out;
-        starts[S] = n_out; starts[S + 1] = INT64_C(0x7FFFFFFF);
-        litpos[S] = lp; litpos[S + 1] = lp;
-        const int64_t n_sub = (n_out + FZ_SUB - 1) / FZ_SUB;
-        wb_arr = (int64_t*)malloc((size_t)(n_sub ? n_sub : 1)
-                                  * sizeof(int64_t));
-        counts = (int32_t*)calloc((size_t)(n_sub ? n_sub : 1), 4);
-        if (!wb_arr || !counts) { ret = -99; goto done; }
-
-        // pll/pmo for the two sentinel rows
-        #define FZ_LL(s) ((s) < S ? (int64_t)ll[(s)] : 0)
-        #define FZ_MO(s) ((s) < S ? (int64_t)mo[(s)] : 1)
-
-        // ---- per-substep scalars (monotone seq pointers) ----------
-        int64_t s0p = 0, csp = 0;
-        for (int64_t i = 0; i < n_sub; ++i) {
-            const int64_t sb = i * FZ_SUB;
-            while (starts[s0p + 1] <= sb) ++s0p;
-            int64_t local0 = sb - starts[s0p];
-            int64_t l0 = FZ_LL(s0p);
-            if (local0 < 0) local0 = 0;
-            if (local0 > l0) local0 = l0;
-            const int64_t consumed = litpos[s0p] + local0;
-            int64_t wq = consumed / FZ_WINQ;
-            if (wq > n_win - 1) wq = n_win - 1;
-            const int64_t wo = ((consumed - wq * FZ_WINQ) >> 8)
-                               & ~(int64_t)7;
-            const int64_t wabs = wq * (FZ_WINQ >> 8) + wo;
-            const int64_t wbb = wabs << 8;
-            const int64_t pb = sb > 0 ? sb - 1 : 0;
-            while (starts[csp + 1] <= pb) ++csp;
-            int64_t u0 = FZ_SUB + (litpos[csp] - wbb) - (starts[csp] - sb);
-            if (u0 < 0) u0 = 0;
-            if (u0 > 16383) u0 = 16383;
-            const int64_t v0 = (sb - FZ_MO(csp)) & 0xFFFF;
-            int64_t b0 = starts[csp] + FZ_LL(csp) - sb;
-            if (b0 < 0) b0 = 0;
-            if (b0 > 8191) b0 = 8191;
-            winq[i] = (int32_t)wq;
-            scal[i * 8 + 0] = (int32_t)((i * (FZ_SUB / 256)) % 256);
-            scal[i * 8 + 1] = (int32_t)wo;
-            scal[i * 8 + 2] = (int32_t)wabs;
-            scal[i * 8 + 3] = (int32_t)u0;
-            scal[i * 8 + 4] = (int32_t)v0;
-            scal[i * 8 + 5] = (int32_t)b0;
-            scal[i * 8 + 6] = 0;
-            scal[i * 8 + 7] = 0;
-            wb_arr[i] = wbb;
-        }
-
-        // ---- sequence delta records (start order == slot order) ----
-        int64_t nrec = 0, cur_sub = -1, slot = 0;
-        int64_t prevU = 0, prevV = 0, prevB = 0;
-        for (int64_t s = 0; s < S; ++s) {
-            if ((int64_t)ll[s] + ml[s] <= 0) continue;
-            const int64_t st = starts[s];
-            const int64_t sub_i = st / FZ_SUB;
-            const int64_t pos12 = st - sub_i * FZ_SUB;
-            const int64_t U = FZ_SUB + (litpos[s] - wb_arr[sub_i]) - pos12;
-            if (U <= 0 || U >= 16384) { ret = -15; goto done; }
-            const int64_t V = (sub_i * FZ_SUB - mo[s]) & 0xFFFF;
-            int64_t B = pos12 + ll[s];
-            if (B > 8191) B = 8191;
-            int64_t pu, pv, pb2;
-            if (sub_i == cur_sub) { pu = prevU; pv = prevV; pb2 = prevB; }
-            else {
-                cur_sub = sub_i; slot = 0;
-                pu = scal[sub_i * 8 + 3];
-                pv = scal[sub_i * 8 + 4];
-                pb2 = scal[sub_i * 8 + 5];
-            }
-            if (slot >= FZ_SEQ_MAX) { ret = -10; goto done; }
-            int64_t du0, du1, cu, dv0, dv1, cv, db0, db1, cb;
-            fz_digits2(U - pu, &du0, &du1, &cu);
-            fz_digits2(V - pv, &dv0, &dv1, &cv);
-            fz_digits2(B - pb2, &db0, &db1, &cb);
-            if (cu != 0 || cb != 0 || cv < -3 || cv > 3) {
-                ret = -12; goto done;
-            }
-            seqrec[(sub_i * 2 + 0) * FZ_SEQ_MAX + slot] = (int32_t)(
-                pos12 | ((du0 + 128) << 12) | ((du1 + 128) << 20)
-                | ((cv + 4) << 28));
-            seqrec[(sub_i * 2 + 1) * FZ_SEQ_MAX + slot] = (int32_t)(
-                (dv0 + 128) | ((dv1 + 128) << 8) | ((db0 + 128) << 16)
-                | ((db1 + 128) << 24));
-            ++slot; ++nrec;
-            prevU = U; prevV = V; prevB = B;
-        }
-
-        // ---- in-substep patches ------------------------------------
-        int64_t npat = 0;
-        for (int64_t s = 0; s < S; ++s) {
-            if (ml[s] <= 0 || mo[s] >= FZ_SUB) continue;
-            const int64_t moff = mo[s];
-            const int64_t mstart = starts[s] + ll[s];
-            const int64_t mend = starts[s + 1];
-            int64_t cur_lo = mstart;
-            int pieces = 0;
-            while (cur_lo < mend) {
-                if (++pieces > 64) { ret = -16; goto done; }
-                const int64_t si = cur_lo >> 12;   // FZ_SUB == 4096
-                const int64_t sb = si * FZ_SUB;
-                int64_t pe = sb + FZ_SUB;
-                if (mend < pe) pe = mend;
-                int64_t plo = sb + moff;
-                if (cur_lo > plo) plo = cur_lo;
-                if (plo >= pe) { cur_lo = pe; continue; }
-                // first-hop owner hint: one search per piece, then
-                // monotone advance per byte (src = p - mo increases)
-                int64_t hint = fz_owner(starts, S + 1, plo - moff);
-                for (int64_t p = plo; p < pe; ++p) {
-                    int64_t p2 = p, code = 0;
-                    int depth = 0;
-                    for (;;) {
-                        if (++depth > 64) { ret = -14; goto done; }
-                        int64_t s2;
-                        if (depth == 1) {
-                            s2 = s;        // p lies in seq s's own span
-                        } else if (depth == 2) {
-                            // hop-1 positions are monotone within the
-                            // run: advance the cached owner instead of
-                            // a fresh binary search per byte
-                            while (starts[hint + 1] <= p2) ++hint;
-                            s2 = hint;
-                        } else {
-                            s2 = fz_owner(starts, S + 1, p2);
-                        }
-                        const int64_t local = p2 - starts[s2];
-                        if (local < FZ_LL(s2)) {
-                            const int64_t lit_rel =
-                                litpos[s2] + local - wb_arr[si];
-                            if (lit_rel < 0
-                                || lit_rel >= FZ_WPAGES * 256) {
-                                ret = -13; goto done;
-                            }
-                            code = 65536 + lit_rel;
-                            break;
-                        }
-                        const int64_t hop = p2 - FZ_MO(s2);
-                        if (hop < sb) { code = hop & 0xFFFF; break; }
-                        p2 = hop;
-                    }
-                    const int64_t slot2 = counts[si]++;
-                    if (slot2 >= FZ_PATCH_MAX) { ret = -11; goto done; }
-                    patch[si * FZ_PATCH_MAX + slot2] =
-                        (int32_t)(((p - sb) << 18) | code | FZ_TAG);
-                    ++npat;
-                }
-                cur_lo = pe;
+    if (!starts || !litpos) { free(starts); free(litpos); return -99; }
+    int64_t out = 0, lp = lit_base;
+    for (int64_t s = 0; s < S; ++s) {
+        starts[s] = out; litpos[s] = lp;
+        const int64_t n = ll[s];
+        if (n) {
+            uint8_t* d = lits + (lp - lit_base);
+            const uint8_t* q = buf + ls[s];
+            if (n <= 16) {
+                for (int64_t k = 0; k < n; ++k) d[k] = q[k];
+            } else {
+                memcpy(d, q, (size_t)n);
             }
         }
+        out += n + ml[s];
+        lp += n;
+    }
+    const int64_t n_out = out;
+    starts[S] = n_out; starts[S + 1] = INT64_C(0x7FFFFFFF);
+    litpos[S] = lp; litpos[S + 1] = lp;
+    const int64_t n_sub = (n_out + FZ_SUB - 1) / FZ_SUB;
+    int64_t* wb_arr = (int64_t*)malloc(
+        (size_t)(n_sub ? n_sub : 1) * sizeof(int64_t));
+    int32_t* counts = (int32_t*)calloc((size_t)(n_sub ? n_sub : 1), 4);
+    if (!wb_arr || !counts) {
+        free(starts); free(litpos); free(wb_arr); free(counts);
+        return -99;
+    }
+    fz_ctx c = { ll, ml, mo, ls, S, buf, lit_base, n_win, lits, winq,
+                 scal, seqrec, patch, counts, starts, litpos, wb_arr,
+                 n_sub, n_out };
+    int32_t ret = 0;
+    int64_t nrec = 0, npat = 0;
+    if (n_threads <= 1 || n_sub < 4 * (int64_t)n_threads) {
+        ret = fz_scal_range(&c, 0, n_sub, wb_arr);
+        if (ret == 0) ret = fz_records_range(&c, 0, n_sub, &nrec);
+        if (ret == 0) ret = fz_patch_range(&c, 0, n_sub, &npat);
+    } else {
+        const int64_t T = n_threads;
+        const int64_t per = (n_sub + T - 1) / T;
+        std::vector<int32_t> st2(T, 0), st3(T, 0), st4(T, 0);
+        std::vector<int64_t> nr(T, 0), np2(T, 0);
+        {
+            std::vector<std::thread> ths;
+            for (int64_t t = 0; t < T; ++t) {
+                int64_t a = t * per, b = a + per;
+                if (b > n_sub) b = n_sub;
+                if (a >= b) continue;
+                ths.emplace_back([&, t, a, b] {
+                    st2[t] = fz_scal_range(&c, a, b, wb_arr);
+                });
+            }
+            for (auto& th : ths) th.join();
+        }
+        for (int64_t t = 0; t < T; ++t) if (st2[t]) ret = st2[t];
+        if (ret == 0) {
+            std::vector<std::thread> ths;
+            for (int64_t t = 0; t < T; ++t) {
+                int64_t a = t * per, b = a + per;
+                if (b > n_sub) b = n_sub;
+                if (a >= b) continue;
+                ths.emplace_back([&, t, a, b] {
+                    st3[t] = fz_records_range(&c, a, b, &nr[t]);
+                    if (st3[t] == 0)
+                        st4[t] = fz_patch_range(&c, a, b, &np2[t]);
+                });
+            }
+            for (auto& th : ths) th.join();
+            for (int64_t t = 0; t < T; ++t) {
+                if (st3[t]) ret = st3[t];
+                else if (st4[t] && ret == 0) ret = st4[t];
+                nrec += nr[t];
+                npat += np2[t];
+            }
+        }
+    }
+    if (ret == 0) {
         out_counts[0] = nrec;
         out_counts[1] = npat;
-        #undef FZ_LL
-        #undef FZ_MO
     }
-done:
     free(starts); free(litpos); free(wb_arr); free(counts);
     return ret;
 }
+
 
 }  // extern "C"

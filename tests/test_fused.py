@@ -151,3 +151,25 @@ def test_partwise_launch_ring_carry():
     assert (one == parts).all()
     n_out = prep.out_spans[0][3]
     assert bytes(parts[:n_out]) == ref
+
+
+def test_threaded_prep_bit_identical(monkeypatch):
+    """Substep-range-threaded native prep must equal the serial pass
+    bit-for-bit (ranges align to substep boundaries; every substep has
+    exactly one writer, so even patch slot order matches)."""
+    from lz4tpu import native
+
+    if not native.available():
+        pytest.skip("native engine unavailable")
+    data = (V / "t1111k.lz4").read_bytes()
+    buf = np.frombuffer(data, np.uint8)
+    parsed = parse_frames(buf, FOR_ALL)
+    t = build_seq_table(buf, parsed, FOR_ALL, data)
+    monkeypatch.setenv("LZ4TPU_PACK_THREADS", "4")
+    a = fused._prep_fused_native(
+        t.lit_len, t.match_len, t.match_off, t.lit_src, buf, None)
+    monkeypatch.setenv("LZ4TPU_PACK_THREADS", "1")
+    b = fused._prep_fused_native(
+        t.lit_len, t.match_len, t.match_off, t.lit_src, buf, None)
+    for f in ("lits", "winq", "scal", "seqrec", "patch"):
+        assert (getattr(a, f) == getattr(b, f)).all(), f
