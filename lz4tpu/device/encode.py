@@ -26,6 +26,20 @@ searching.
 
 Works on any JAX backend (pure XLA: no Pallas required), so CPU CI
 exercises the same code path.
+
+Measured split (t300k.bin, TPU v5e + 1-core host, 2026-08-17):
+device sorted-gram candidate generation 126 MB/s of payload
+(slope-timed device compute); host token emission from those
+candidates 18 MB/s/core; host full greedy (find + emit) 14 MB/s/core.
+Emission stays host-side deliberately: token boundaries depend on the
+emitted lengths AND the greedy/lazy choices feed back into later
+match selection, so unlike decode there is no pack-time resolution
+that makes the byte stream data-independent — a device emitter would
+need a data-dependent-output-position kernel (future work).  The
+sharded encoder therefore parallelizes emission per BLOCK across host
+cores/hosts while the candidate pass batches on the mesh; its device
+fraction is small by construction, which is why encode throughput is
+reported per host core in BENCHMARKS.md rather than per chip.
 """
 
 from __future__ import annotations
