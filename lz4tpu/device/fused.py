@@ -192,6 +192,50 @@ def _decode_records(r0, r1):
     return pos12, dU, dV, dB
 
 
+def max_patches_per_substep(
+    lit_len: np.ndarray,
+    match_len: np.ndarray,
+    match_off: np.ndarray,
+    chain_ranges: list | None = None,
+) -> int:
+    """Exact per-substep in-substep-byte maximum in O(S + pieces) —
+    the planner's pre-screen: chains whose densest substep exceeds
+    PATCH_MAX go straight to the host-pack engine instead of paying a
+    fused prep that would overflow anyway."""
+    if chain_ranges is None:
+        chain_ranges = [(0, lit_len.size)]
+    worst = 0
+    for (lo, hi) in chain_ranges:
+        ll = lit_len[lo:hi].astype(np.int64)
+        ml = match_len[lo:hi].astype(np.int64)
+        mo = match_off[lo:hi].astype(np.int64)
+        sizes = ll + ml
+        n_out = int(sizes.sum())
+        if n_out == 0:
+            continue
+        starts = np.zeros(sizes.size + 1, np.int64)
+        np.cumsum(sizes, out=starts[1:])
+        counts = np.zeros(-(-n_out // SUB) + 1, np.int64)
+        m0 = starts[:-1] + ll
+        m1 = starts[1:]
+        idx = np.where((mo < SUB) & (m1 > m0))[0]
+        cur_lo, cur_mo, cur_hi = m0[idx], mo[idx], m1[idx]
+        rounds = 0
+        while cur_lo.size:
+            rounds += 1
+            if rounds > 64:
+                return 1 << 30          # pathological: definitely over
+            sb = (cur_lo // SUB) * SUB
+            pe = np.minimum(cur_hi, sb + SUB)
+            plo = np.maximum(cur_lo, sb + cur_mo)
+            n_aff = np.maximum(pe - plo, 0)
+            np.add.at(counts, (cur_lo // SUB)[n_aff > 0], n_aff[n_aff > 0])
+            nxt = pe < cur_hi
+            cur_lo, cur_mo, cur_hi = pe[nxt], cur_mo[nxt], cur_hi[nxt]
+        worst = max(worst, int(counts.max()))
+    return worst
+
+
 def prep_fused(
     lit_len: np.ndarray,
     match_len: np.ndarray,
@@ -855,22 +899,16 @@ def _make_kernel(ablate: frozenset = frozenset()):
             pc_eff = jnp.where(jnp.logical_or(cc_a, cc_b), -2, pc)
             iota_p = jax.lax.broadcasted_iota(
                 jnp.int32, (KPAGES, COLS), 0)
-            if "ohint" in ablate:
-                # int-composed one-hot, single bf16 convert (the three
-                # packed weights never collide: pb_eff/pc_eff demote
-                # duplicates, so values are {0,1,256,65536} — all
-                # bf16-exact)
-                ohp = (
-                    jnp.where(iota_p == pa, 1, 0)
-                    + jnp.where(iota_p == pb_eff, 256, 0)
-                    + jnp.where(iota_p == pc_eff, 65536, 0)
-                ).astype(jnp.bfloat16)
-            else:
-                ohp = (
-                    (iota_p == pa).astype(jnp.bfloat16)
-                    + (iota_p == pb_eff).astype(jnp.bfloat16) * 256
-                    + (iota_p == pc_eff).astype(jnp.bfloat16) * 65536
-                )
+            # int-composed one-hot with a single bf16 convert: 8.5%
+            # whole-kernel win over three bf16 converts + scaled adds
+            # (interleaved A/B).  Exact: pb_eff/pc_eff demote page
+            # collisions, so element values are {0,1,256,65536} — all
+            # bf16-representable.
+            ohp = (
+                jnp.where(iota_p == pa, 1, 0)
+                + jnp.where(iota_p == pb_eff, 256, 0)
+                + jnp.where(iota_p == pc_eff, 65536, 0)
+            ).astype(jnp.bfloat16)
             yT = jax.lax.dot_general(
                 kmat[...], ohp, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,

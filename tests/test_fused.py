@@ -173,3 +173,58 @@ def test_threaded_prep_bit_identical(monkeypatch):
         t.lit_len, t.match_len, t.match_off, t.lit_src, buf, None)
     for f in ("lits", "winq", "scal", "seqrec", "patch"):
         assert (getattr(a, f) == getattr(b, f)).all(), f
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_golden_vs_host(seed):
+    """Differential fuzz of the fused semantics vs the host engine over
+    generated streams, INCLUDING length extremes (giant literal runs,
+    multi-wrap overlapping matches, >128 KiB outputs) — the round-1
+    lesson: short-input fuzz misses mod-64Ki masking bugs."""
+    import lz4tpu
+
+    rng = np.random.default_rng(100 + seed)
+    parts = []
+    style = seed % 4
+    if style == 0:      # long literal runs crossing many substeps
+        parts.append(rng.integers(0, 256, 150_000, dtype=np.uint8
+                                  ).tobytes())
+        parts.append(b"abcdefgh" * 4000)
+    elif style == 1:    # deep self-overlap + big offsets, >192 KiB out
+        seedbytes = rng.integers(32, 127, 70, dtype=np.uint8).tobytes()
+        parts.append(seedbytes * 3000)
+        parts.append(bytes(rng.integers(0, 256, 65_600, dtype=np.uint8)))
+        parts.append(seedbytes * 1000)
+    elif style == 2:    # mixed fragments with offsets near 64 KiB
+        frag = rng.integers(32, 127, 65_530, dtype=np.uint8).tobytes()
+        parts.append(frag)
+        parts.append(frag[:5000])
+        parts.append(frag)
+    else:               # many small repeated fragments (dense seqs)
+        frags = [rng.integers(32, 127, rng.integers(4, 30),
+                              dtype=np.uint8).tobytes()
+                 for _ in range(120)]
+        parts.append(b"".join(frags[rng.integers(0, 120)]
+                              for _ in range(9000)))
+    payload = b"".join(parts)
+    data = lz4tpu.compress(payload, level=int(rng.integers(1, 7)))
+    buf = np.frombuffer(data, np.uint8)
+    parsed = parse_frames(buf, FOR_ALL)
+    t = build_seq_table(buf, parsed, FOR_ALL, data)
+    try:
+        prep = fused.prep_fused(
+            t.lit_len, t.match_len, t.match_off, t.lit_src, buf)
+    except fused.FusedOverflow:
+        # budget overflow: the PLANNER must pre-screen this chain and
+        # the fallback pipeline must still decode it bit-exactly
+        from lz4tpu.pipeline import DecodeStats, decompress_device
+
+        st = DecodeStats()
+        assert decompress_device(data, interpret=True,
+                                 stats=st) == payload
+        assert "fused" not in st.engine_chains, (
+            "pre-screen should have routed an overflowing chain away"
+        )
+        return
+    _check_spans(fused.golden_decode(prep), prep,
+                 lz4tpu.decompress_host(data))
