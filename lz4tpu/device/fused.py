@@ -198,10 +198,14 @@ def max_patches_per_substep(
     match_off: np.ndarray,
     chain_ranges: list | None = None,
 ) -> int:
-    """Exact per-substep in-substep-byte maximum in O(S + pieces) —
-    the planner's pre-screen: chains whose densest substep exceeds
-    PATCH_MAX go straight to the host-pack engine instead of paying a
-    fused prep that would overflow anyway."""
+    """Exact per-substep in-substep-byte maximum in O(S + pieces).
+
+    Diagnostic (tests + capacity analysis).  The planner deliberately
+    does NOT pre-screen with this: measured on this host it costs more
+    per request (~6 ms on t1111k, cache-cold next to the prep) than
+    letting the native prep fail fast on its own PATCH_MAX check and
+    falling back — pathological inputs pay a partial wasted prep, the
+    common path pays nothing."""
     if chain_ranges is None:
         chain_ranges = [(0, lit_len.size)]
     worst = 0
@@ -215,7 +219,8 @@ def max_patches_per_substep(
             continue
         starts = np.zeros(sizes.size + 1, np.int64)
         np.cumsum(sizes, out=starts[1:])
-        counts = np.zeros(-(-n_out // SUB) + 1, np.int64)
+        nbins = -(-n_out // SUB) + 1
+        counts = np.zeros(nbins, np.int64)
         m0 = starts[:-1] + ll
         m1 = starts[1:]
         idx = np.where((mo < SUB) & (m1 > m0))[0]
@@ -229,7 +234,8 @@ def max_patches_per_substep(
             pe = np.minimum(cur_hi, sb + SUB)
             plo = np.maximum(cur_lo, sb + cur_mo)
             n_aff = np.maximum(pe - plo, 0)
-            np.add.at(counts, (cur_lo // SUB)[n_aff > 0], n_aff[n_aff > 0])
+            counts += np.bincount(cur_lo // SUB, weights=n_aff,
+                                  minlength=nbins).astype(np.int64)
             nxt = pe < cur_hi
             cur_lo, cur_mo, cur_hi = pe[nxt], cur_mo[nxt], cur_hi[nxt]
         worst = max(worst, int(counts.max()))
@@ -308,9 +314,10 @@ def _pool_arrays(nst: int, lit_cap: int):
     key = (nst_b, lit_b)
     q = _POOL.setdefault(key, collections.deque())
     if len(q) >= _POOL_DEPTH:
+        # buffers come back DIRTY: the native prep writes every live
+        # slot and zeroes the tails itself (fz_zero_tails); zero-filling
+        # multi-MB arrays here cost ~0.5 ms/request
         bufs = q.popleft()
-        for a in bufs:
-            a.fill(0)
     else:
         bufs = (
             np.zeros(lit_b, np.uint8),

@@ -1234,7 +1234,8 @@ typedef struct {
     int32_t* scal;
     int32_t* seqrec;
     int32_t* patch;
-    int32_t* counts;
+    int32_t* counts;      // per-substep patch slots used
+    int32_t* rec_counts;  // per-substep seq-record slots used
     const int64_t *starts, *litpos;
     const int64_t* wb_arr;
     int64_t n_sub, n_out;
@@ -1328,10 +1329,27 @@ static int32_t fz_records_range(const fz_ctx* c, int64_t i_lo,
             (dv0 + 128) | ((dv1 + 128) << 8) | ((db0 + 128) << 16)
             | ((db1 + 128) << 24));
         ++slot; ++nrec;
+        c->rec_counts[sub_i] = (int32_t)slot;
         prevU = U; prevV = V; prevB = B;
     }
     *nrec_out = nrec;
     return 0;
+}
+
+// phase 5: zero the unwritten slot tails (callers hand DIRTY pooled
+// buffers; zero-filling multi-MB arrays per request costs more than
+// the prep's own arithmetic)
+static void fz_zero_tails(const fz_ctx* c, int64_t i_lo, int64_t i_hi) {
+    for (int64_t i = i_lo; i < i_hi; ++i) {
+        const int64_t rc = c->rec_counts[i];
+        memset(c->seqrec + (i * 2 + 0) * FZ_SEQ_MAX + rc, 0,
+               (size_t)(FZ_SEQ_MAX - rc) * 4);
+        memset(c->seqrec + (i * 2 + 1) * FZ_SEQ_MAX + rc, 0,
+               (size_t)(FZ_SEQ_MAX - rc) * 4);
+        const int64_t pc = c->counts[i];
+        memset(c->patch + i * FZ_PATCH_MAX + pc, 0,
+               (size_t)(FZ_PATCH_MAX - pc) * 4);
+    }
 }
 
 // phase 4: in-substep patches whose TARGET substep lies in
@@ -1444,19 +1462,23 @@ int32_t lz4tpu_prep_fused(
     int64_t* wb_arr = (int64_t*)malloc(
         (size_t)(n_sub ? n_sub : 1) * sizeof(int64_t));
     int32_t* counts = (int32_t*)calloc((size_t)(n_sub ? n_sub : 1), 4);
-    if (!wb_arr || !counts) {
+    int32_t* rec_counts = (int32_t*)calloc(
+        (size_t)(n_sub ? n_sub : 1), 4);
+    if (!wb_arr || !counts || !rec_counts) {
         free(starts); free(litpos); free(wb_arr); free(counts);
+        free(rec_counts);
         return -99;
     }
     fz_ctx c = { ll, ml, mo, ls, S, buf, lit_base, n_win, lits, winq,
-                 scal, seqrec, patch, counts, starts, litpos, wb_arr,
-                 n_sub, n_out };
+                 scal, seqrec, patch, counts, rec_counts, starts,
+                 litpos, wb_arr, n_sub, n_out };
     int32_t ret = 0;
     int64_t nrec = 0, npat = 0;
     if (n_threads <= 1 || n_sub < 4 * (int64_t)n_threads) {
         ret = fz_scal_range(&c, 0, n_sub, wb_arr);
         if (ret == 0) ret = fz_records_range(&c, 0, n_sub, &nrec);
         if (ret == 0) ret = fz_patch_range(&c, 0, n_sub, &npat);
+        if (ret == 0) fz_zero_tails(&c, 0, n_sub);
     } else {
         const int64_t T = n_threads;
         const int64_t per = (n_sub + T - 1) / T;
@@ -1485,6 +1507,8 @@ int32_t lz4tpu_prep_fused(
                     st3[t] = fz_records_range(&c, a, b, &nr[t]);
                     if (st3[t] == 0)
                         st4[t] = fz_patch_range(&c, a, b, &np2[t]);
+                    if (st3[t] == 0 && st4[t] == 0)
+                        fz_zero_tails(&c, a, b);
                 });
             }
             for (auto& th : ths) th.join();
@@ -1501,6 +1525,7 @@ int32_t lz4tpu_prep_fused(
         out_counts[1] = npat;
     }
     free(starts); free(litpos); free(wb_arr); free(counts);
+    free(rec_counts);
     return ret;
 }
 

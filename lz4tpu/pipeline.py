@@ -497,18 +497,6 @@ def plan_decode(buf: np.ndarray, parsed: ParseResult, table: SeqTable,
     if fused_cand and engine != "mxu2":
         from .device import fused as fu
 
-        # O(S) pre-screen: chains whose densest substep exceeds the
-        # in-substep patch budget cannot run fused — route them to the
-        # host-pack engine without paying a prep that would overflow
-        screened = []
-        for c in fused_cand:
-            est = fu.max_patches_per_substep(
-                table.lit_len, table.match_len, table.match_off,
-                chain_ranges=[(c.seq_lo, c.seq_hi)],
-            )
-            (screened if est <= fu.PATCH_MAX else dense_cand).append(c)
-        fused_cand = screened
-
         def _try(chs):
             prep = fu.prep_fused(
                 table.lit_len, table.match_len, table.match_off,

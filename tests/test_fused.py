@@ -223,8 +223,12 @@ def test_fuzz_golden_vs_host(seed):
         assert decompress_device(data, interpret=True,
                                  stats=st) == payload
         assert "fused" not in st.engine_chains, (
-            "pre-screen should have routed an overflowing chain away"
+            "planner must fall back for an overflowing chain"
         )
+        # the diagnostic histogram must agree the budget was exceeded
+        assert fused.max_patches_per_substep(
+            t.lit_len, t.match_len, t.match_off
+        ) > fused.PATCH_MAX
         return
     _check_spans(fused.golden_decode(prep), prep,
                  lz4tpu.decompress_host(data))
