@@ -30,7 +30,7 @@ from .errors import (
     err_block_checksum,
     err_content_checksum,
 )
-from .frame import FrameRec, ParseResult, parse_frames
+from .frame import ParseResult, parse_frames
 from .xxh32 import xxh32
 
 

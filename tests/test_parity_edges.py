@@ -10,7 +10,6 @@
   raises (the reference's single byte loop fixes the order).
 """
 
-import io
 import pathlib
 import struct
 import subprocess
