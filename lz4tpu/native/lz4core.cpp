@@ -1377,8 +1377,15 @@ static int32_t fz_patch_range(const fz_ctx* c, int64_t i_lo,
             if (cur_lo > plo) plo = cur_lo;
             if (plo >= pe) { cur_lo = pe; continue; }
             int64_t hint = fz_owner(c->starts, c->S + 1, plo - moff);
-            for (int64_t p = plo; p < pe; ++p) {
+            int64_t p = plo;
+            while (p < pe) {
+                // resolve byte p, tracking how many FOLLOWING bytes
+                // share the same chain structure (every hop stays
+                // inside its segment): those resolve to code, code+1,
+                // ... and emit in one tight loop — per-byte chain
+                // walks cost ~45 ns, runs amortize them on text
                 int64_t p2 = p, code = 0;
+                int64_t rem = pe - p;
                 int depth = 0;
                 for (;;) {
                     if (++depth > 64) return -14;
@@ -1392,23 +1399,52 @@ static int32_t fz_patch_range(const fz_ctx* c, int64_t i_lo,
                         s2 = fz_owner(c->starts, c->S + 1, p2);
                     }
                     const int64_t local = p2 - c->starts[s2];
-                    if (local < FZ_LLv(c, s2)) {
+                    const int64_t llv = FZ_LLv(c, s2);
+                    if (local < llv) {
+                        // literal terminal: valid while inside this
+                        // literal run and the window
                         const int64_t lit_rel =
                             c->litpos[s2] + local - c->wb_arr[si];
                         if (lit_rel < 0 || lit_rel >= FZ_WPAGES * 256)
                             return -13;
+                        if (llv - local < rem) rem = llv - local;
+                        if (FZ_WPAGES * 256 - lit_rel < rem)
+                            rem = FZ_WPAGES * 256 - lit_rel;
                         code = 65536 + lit_rel;
                         break;
                     }
                     const int64_t hop = p2 - FZ_MOv(c, s2);
-                    if (hop < sb) { code = hop & 0xFFFF; break; }
+                    if (hop < sb) {
+                        // ring terminal: valid while still before the
+                        // substep, on the same 64 Ki page cycle, AND
+                        // inside this sequence (past its end the
+                        // offset changes)
+                        if (sb - hop < rem) rem = sb - hop;
+                        const int64_t low = hop & 0xFFFF;
+                        if (65536 - low < rem) rem = 65536 - low;
+                        const int64_t seg_end = c->starts[s2 + 1];
+                        if (seg_end - p2 < rem) rem = seg_end - p2;
+                        code = low;
+                        break;
+                    }
+                    // intermediate hop: the run stays valid while the
+                    // hop position remains inside this sequence
+                    {
+                        const int64_t seg_end = c->starts[s2 + 1];
+                        if (seg_end - p2 < rem) rem = seg_end - p2;
+                    }
                     p2 = hop;
                 }
-                const int64_t slot2 = c->counts[si]++;
-                if (slot2 >= FZ_PATCH_MAX) return -11;
-                c->patch[si * FZ_PATCH_MAX + slot2] =
-                    (int32_t)(((p - sb) << 18) | code | FZ_TAG);
-                ++npat;
+                if (rem < 1) rem = 1;
+                int64_t slot2 = c->counts[si];
+                if (slot2 + rem > FZ_PATCH_MAX) return -11;
+                c->counts[si] = (int32_t)(slot2 + rem);
+                int32_t* dst = c->patch + si * FZ_PATCH_MAX + slot2;
+                const int64_t base = ((p - sb) << 18) | code | FZ_TAG;
+                for (int64_t k = 0; k < rem; ++k)
+                    dst[k] = (int32_t)(base + k * ((1 << 18) | 1));
+                npat += rem;
+                p += rem;
             }
             cur_lo = pe;
         }
