@@ -73,20 +73,20 @@ import functools
 
 import numpy as np
 
-SUB = 4096                 # output bytes per substep
+SUB = 2048                 # output bytes per substep
 ROWB = 256                 # ring row bytes
 RPAGES = 256               # 64 KiB ring pages
-WPAGES = 24                # literal window pages (6 KiB)
+WPAGES = 16                # literal window pages (4 KiB)
 KPAGES = RPAGES + WPAGES   # routed page space (280)
 PACK = 3                   # bytes per matmul column
-COLS = 1408                # matmul columns (lane-aligned slot stride;
-                           # slots cover bytes [0,1408),[1408,2816),
-                           # [2816,4096) — the third is short)
+COLS = 768                 # matmul columns (lane-aligned slot stride;
+                           # slots cover bytes [0,768),[768,1536),
+                           # [1536,2048) — the third is short)
 CHUNK = 128
 NCHUNK = SUB // CHUNK      # 32
-SEQ_MAX = 1088             # seq records per substep (>= SUB/4 + slack)
+SEQ_MAX = 576              # seq records per substep (>= SUB/4 + slack)
 NPLANES = 7                # digit planes: dU0,dU1,dV0,dV1,dV2,dB0,dB1
-PATCH_MAX = 768            # in-substep patch budget per substep
+PATCH_MAX = 256            # in-substep patch budget per substep
 LITWIN_Q = 4096            # literal window stride (bytes; blocks 8 KiB)
 TAG = 1 << 17              # patch marker above the 17-bit position space
 SENTINEL = (1 << 31) - 1

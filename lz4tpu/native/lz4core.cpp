@@ -1196,10 +1196,11 @@ int64_t lz4tpu_pack_dense2(
 // unspecified (the kernel scatter is order-independent).
 // ---------------------------------------------------------------------------
 
-#define FZ_SUB 4096
-#define FZ_SEQ_MAX 1088
-#define FZ_PATCH_MAX 768
-#define FZ_WPAGES 24
+#define FZ_SUB 2048
+#define FZ_SUB_SHIFT 11
+#define FZ_SEQ_MAX 576
+#define FZ_PATCH_MAX 256
+#define FZ_WPAGES 16
 #define FZ_WINQ 4096
 #define FZ_TAG (INT64_C(1) << 17)
 
@@ -1300,7 +1301,7 @@ static int32_t fz_records_range(const fz_ctx* c, int64_t i_lo,
     for (; s < c->S && c->starts[s] < hi_b; ++s) {
         if ((int64_t)c->ll[s] + c->ml[s] <= 0) continue;
         const int64_t st = c->starts[s];
-        const int64_t sub_i = st >> 12;          // FZ_SUB == 4096
+        const int64_t sub_i = st >> FZ_SUB_SHIFT;
         const int64_t pos12 = st - sub_i * FZ_SUB;
         const int64_t U = FZ_SUB + (c->litpos[s] - c->wb_arr[sub_i])
                           - pos12;
@@ -1368,7 +1369,7 @@ static int32_t fz_patch_range(const fz_ctx* c, int64_t i_lo,
         int pieces = 0;
         while (cur_lo < mend) {
             if (++pieces > 64) return -16;
-            const int64_t si = cur_lo >> 12;
+            const int64_t si = cur_lo >> FZ_SUB_SHIFT;
             const int64_t sb = si * FZ_SUB;
             int64_t pe = sb + FZ_SUB;
             if (mend < pe) pe = mend;
