@@ -145,3 +145,43 @@ def test_decompress_to_device_verify_device(vectors_dir):
         lz4tpu.decompress_to_device(bytes(bad), interpret=True,
                                     verify="host")
     assert ei_dev.value.ada_image() == ei_host.value.ada_image()
+
+
+def test_sparse_classifier_rejections():
+    """The sparse builder must return None (caller falls back) for
+    chains that are not sparse-shaped: deep pattern chains, segment
+    blowup, and overlapping matches needing too many chunks."""
+    import numpy as np
+
+    from lz4tpu.device import sparse_decode as sp
+
+    buf = np.arange(256, dtype=np.uint8)
+
+    def prog(ll, ml, mo, ls):
+        return sp.build_sparse_program(
+            np.asarray(ll, np.int32), np.asarray(ml, np.int32),
+            np.asarray(mo, np.int32), np.asarray(ls, np.int32), buf,
+        )
+
+    # pattern chain deeper than the resolver cap: each seq's small-
+    # offset match reaches into the previous fill's pattern
+    n = 40
+    ll = [1] + [0] * (n - 1)
+    ml = [0] + [8] * (n - 1)
+    mo = [1] + [5] * (n - 1)
+    ls = [0] * n
+    assert prog(ll, ml, mo, ls) is None
+
+    # segment blowup: more ops than MAX_OPS
+    n = sp.MAX_OPS + 2
+    assert prog([1] * n, [0] * n, [1] * n, [0] * n) is None
+
+    # overlapping large-offset match expanding into too many chunks
+    ll = [300, 0]
+    ml = [0, 300 * (sp.MAX_SELF_CHUNKS + 2)]
+    mo = [1, 300]
+    ls = [0, 0]
+    assert prog(ll, ml, mo, ls) is None
+
+    # and a healthy RLE-ish chain still classifies
+    assert prog([4, 0], [0, 5000], [1, 4], [0, 0]) is not None
