@@ -179,7 +179,7 @@ def main() -> int:
             t_dev = sorted(slopes)[2]
             # the tunnel chip's clock can RAMP mid-measurement and turn
             # a slope negative/absurd; re-run the whole phase until the
-            # estimate is sane (positive and не faster than 1 us)
+            # estimate is sane (positive and not faster than 1 us)
             if t_dev > 1e-6:
                 break
         if t_dev is None or t_dev <= 1e-6:

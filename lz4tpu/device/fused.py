@@ -8,7 +8,7 @@ host-bound (round-1 verdict, weakness #2).  This engine moves the
 per-byte work on-device; the host ships only O(S) sequence records plus
 O(in-substep bytes) patch records (~2-6 % of output for text).
 
-Per 4096-byte substep the kernel:
+Per 2048-byte substep (SUB) the kernel:
 
 1. **Expands** the sequence table to per-byte fields with a
    scatter-matmul + segmented prefix sum: each sequence starting in the
@@ -17,14 +17,14 @@ Per 4096-byte substep the kernel:
    B: literal/match boundary) split into seven balanced-base-256
    digits (each in [-128, 127] — exact in bf16).  One stacked-plane
    bf16 matmul ([row==r_k] x [lane==l_k], digit planes stacked on M)
-   scatters all digits into the (32, 128) byte grid at once; a 2-D
+   scatters all digits into the (16, 128) byte grid at once; a 2-D
    cumsum (lane cumsum + row carry) turns the delta maps into per-byte
    field values.  Per-chunk masked-sum expansion was 10x slower
    (measured 3.6 us/substep — sub-vreg shapes waste the VPU); XLA
    gathers are ~13 ns/element (1000x too slow).  The MXU is the only
    fast scatter on this hardware.
 2. Derives each byte's **source position**: literal bytes point into a
-   24-page window of the literal stream (appended to the routing
+   16-page window of the literal stream (appended to the routing
    matmul's page space), match bytes point into the 64 KiB ring
    (reference semantics: lib/lz4ada.adb:845-904).  No byte values are
    ever touched on the host — literals route through the same matmul
@@ -34,7 +34,7 @@ Per 4096-byte substep the kernel:
    chains (measured depth <= 6 on t1111k) and the kernel scatters the
    resolved positions with the same stacked-plane matmul trick (three
    8-bit value planes).
-4. **Routes** all 4096 bytes from the [ring | literal window] page
+4. **Routes** all 2048 bytes from the [ring | literal window] page
    space with one 3-packed one-hot bf16 matmul (weights {1,256,65536};
    sums <= 255*(1+256+65536) < 2^24 stay exact in the f32 accumulator —
    the f32-mantissa bound that makes 3 bytes/column the FLOP floor),
@@ -58,10 +58,10 @@ dV carry digit by +4):
   rec0 = pos12 | (dU0)<<12 | (dU1)<<20 | (dV2)<<28
   rec1 = (dV0) | (dV1)<<8 | (dB0)<<16 | (dB1)<<24
 
-The routing matrix is a (280, 256) persistent scratch: rows 0..255 the
-64 KiB history ring (written wrap-free — 16 rows/substep divides 256),
-rows 256..279 the per-substep literal window (refreshed each substep;
-window start slack <= 2047 B + consumed literals <= 4096 B < 24 pages,
+The routing matrix is a (272, 256) persistent scratch: rows 0..255 the
+64 KiB history ring (written wrap-free — 8 rows/substep divides 256),
+rows 256..271 the per-substep literal window (refreshed each substep;
+window start slack <= 2047 B + consumed literals <= 2048 B < 16 pages,
 a hard bound).  Chains exceeding PATCH_MAX in-substep bytes per substep
 raise FusedOverflow and fall back to the host-pack engine.
 """
@@ -77,13 +77,13 @@ SUB = 2048                 # output bytes per substep
 ROWB = 256                 # ring row bytes
 RPAGES = 256               # 64 KiB ring pages
 WPAGES = 16                # literal window pages (4 KiB)
-KPAGES = RPAGES + WPAGES   # routed page space (280)
+KPAGES = RPAGES + WPAGES   # routed page space (272)
 PACK = 3                   # bytes per matmul column
 COLS = 768                 # matmul columns (lane-aligned slot stride;
                            # slots cover bytes [0,768),[768,1536),
                            # [1536,2048) — the third is short)
 CHUNK = 128
-NCHUNK = SUB // CHUNK      # 32
+NCHUNK = SUB // CHUNK      # 16
 SEQ_MAX = 576              # seq records per substep (>= SUB/4 + slack)
 NPLANES = 7                # digit planes: dU0,dU1,dV0,dV1,dV2,dB0,dB1
 PATCH_MAX = 256            # in-substep patch budget per substep
@@ -95,7 +95,17 @@ U_BIAS = 65536 - SUB       # literal pos17 = j + U + U_BIAS
 
 @dataclasses.dataclass
 class FusedPrep:
-    """Device-ready inputs for the fused kernel (one or more chains)."""
+    """Device-ready inputs for the fused kernel (one or more chains).
+
+    Lifetime contract: the numpy arrays are owned by the prep buffer
+    pool (``_pool_arrays``) and are recycled after ``_POOL_DEPTH`` (4)
+    further same-size-class preps.  Copy them to device (jnp.asarray)
+    or np.copy() them before preparing more requests; do not hold a
+    FusedPrep across requests, and do not run more than _POOL_DEPTH
+    concurrent preps of one size class (serve.DecodeSession's single
+    prep thread satisfies this by construction).  Set
+    LZ4TPU_PREP_POOL=0 to disable pooling and get caller-owned
+    arrays."""
 
     seqrec: np.ndarray     # int32 (n_sub, 2, 8, SEQ_MAX//8) records
     lits: np.ndarray       # uint8 (n_win, 32, 256) overlapped windows

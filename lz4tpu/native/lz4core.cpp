@@ -20,9 +20,19 @@
 #include <cstdint>
 #include <cstring>
 #include <cstddef>
+#include <cstdio>
 #include <cstdlib>
+#include <ctime>
 #include <thread>
 #include <vector>
+
+// Phase profiler for lz4tpu_prep_fused (serial path only): set
+// LZ4TPU_PREP_PROFILE=1 to print per-phase nanoseconds to stderr.
+static inline int64_t fz_now_ns(void) {
+    struct timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return (int64_t)ts.tv_sec * 1000000000 + ts.tv_nsec;
+}
 
 extern "C" {
 
@@ -1473,6 +1483,8 @@ int32_t lz4tpu_prep_fused(
     int32_t* patch,          // [n_sub * FZ_PATCH_MAX]
     int64_t* out_counts,     // [2]: n_seq_recs, n_patches
     int32_t n_threads) {
+    const int prof = getenv("LZ4TPU_PREP_PROFILE") != NULL;
+    int64_t tp0 = prof ? fz_now_ns() : 0;
     int64_t* starts = (int64_t*)malloc((size_t)(S + 2) * sizeof(int64_t));
     int64_t* litpos = (int64_t*)malloc((size_t)(S + 2) * sizeof(int64_t));
     if (!starts || !litpos) { free(starts); free(litpos); return -99; }
@@ -1511,7 +1523,23 @@ int32_t lz4tpu_prep_fused(
                  litpos, wb_arr, n_sub, n_out };
     int32_t ret = 0;
     int64_t nrec = 0, npat = 0;
-    if (n_threads <= 1 || n_sub < 4 * (int64_t)n_threads) {
+    if (prof) {
+        int64_t t1 = fz_now_ns();
+        ret = fz_scal_range(&c, 0, n_sub, wb_arr);
+        int64_t t2 = fz_now_ns();
+        if (ret == 0) ret = fz_records_range(&c, 0, n_sub, &nrec);
+        int64_t t3 = fz_now_ns();
+        if (ret == 0) ret = fz_patch_range(&c, 0, n_sub, &npat);
+        int64_t t4 = fz_now_ns();
+        if (ret == 0) fz_zero_tails(&c, 0, n_sub);
+        int64_t t5 = fz_now_ns();
+        fprintf(stderr,
+                "prep_fused S=%lld n_sub=%lld: lits+starts %.3f ms, "
+                "scal %.3f, records %.3f, patches %.3f, tails %.3f\n",
+                (long long)S, (long long)n_sub, (t1 - tp0) * 1e-6,
+                (t2 - t1) * 1e-6, (t3 - t2) * 1e-6, (t4 - t3) * 1e-6,
+                (t5 - t4) * 1e-6);
+    } else if (n_threads <= 1 || n_sub < 4 * (int64_t)n_threads) {
         ret = fz_scal_range(&c, 0, n_sub, wb_arr);
         if (ret == 0) ret = fz_records_range(&c, 0, n_sub, &nrec);
         if (ret == 0) ret = fz_patch_range(&c, 0, n_sub, &npat);
@@ -1533,7 +1561,10 @@ int32_t lz4tpu_prep_fused(
             }
             for (auto& th : ths) th.join();
         }
-        for (int64_t t = 0; t < T; ++t) if (st2[t]) ret = st2[t];
+        // first failing range wins so threaded runs report the same
+        // overflow reason as the serial pass (lowest substep range)
+        for (int64_t t = 0; t < T; ++t)
+            if (st2[t] && ret == 0) ret = st2[t];
         if (ret == 0) {
             std::vector<std::thread> ths;
             for (int64_t t = 0; t < T; ++t) {
@@ -1549,9 +1580,14 @@ int32_t lz4tpu_prep_fused(
                 });
             }
             for (auto& th : ths) th.join();
+            // match the serial pass's reason: all records errors
+            // (phase 3) precede any patch error (phase 4), lowest
+            // substep range first within a phase
+            for (int64_t t = 0; t < T; ++t)
+                if (st3[t] && ret == 0) ret = st3[t];
+            for (int64_t t = 0; t < T; ++t)
+                if (st4[t] && ret == 0) ret = st4[t];
             for (int64_t t = 0; t < T; ++t) {
-                if (st3[t]) ret = st3[t];
-                else if (st4[t] && ret == 0) ret = st4[t];
                 nrec += nr[t];
                 npat += np2[t];
             }

@@ -319,29 +319,29 @@ def _verify_checksums_device(
         xxh32_of_device_array,
     )
 
-    blks = [
-        blk
-        for frame in parsed.frames
-        for blk in frame.blocks
-        if blk.checksum is not None
-    ]
-    if blks and comp_dev is not None:
-        digests = xxh32_blocks_device(
-            comp_dev,
-            [b.comp_off for b in blks],
-            [b.comp_len for b in blks],
-            interpret=interpret,
-        )
-        for blk, computed in zip(blks, digests):
-            if computed != blk.checksum:
-                raise err_block_checksum(blk.checksum, computed)
-    else:
-        for blk in blks:
-            payload = buf[blk.comp_off:blk.comp_off + blk.comp_len]
-            computed = native.native_xxh32(payload)
-            if computed != blk.checksum:
-                raise err_block_checksum(blk.checksum, computed)
+    # Frames verify IN ORDER, each frame's block checksums before its
+    # content checksum — the same fault precedence as the host path and
+    # the streaming reference (lz4ada.adb:672-676 runs per block inside
+    # the frame, adb:491-513 at its end mark), so multi-fault inputs
+    # raise the same error regardless of verify= mode.
     for frame in parsed.frames:
+        blks = [b for b in frame.blocks if b.checksum is not None]
+        if blks and comp_dev is not None:
+            digests = xxh32_blocks_device(
+                comp_dev,
+                [b.comp_off for b in blks],
+                [b.comp_len for b in blks],
+                interpret=interpret,
+            )
+            for blk, computed in zip(blks, digests):
+                if computed != blk.checksum:
+                    raise err_block_checksum(blk.checksum, computed)
+        else:
+            for blk in blks:
+                payload = buf[blk.comp_off:blk.comp_off + blk.comp_len]
+                computed = native.native_xxh32(payload)
+                if computed != blk.checksum:
+                    raise err_block_checksum(blk.checksum, computed)
         if frame.content_checksum is not None:
             lo = int(table.frame_out_start[frame.frame_id])
             hi = int(table.frame_out_start[frame.frame_id + 1])
@@ -670,12 +670,14 @@ def _resolve_chain(buf: np.ndarray, table: SeqTable, chain) -> np.ndarray:
 
 
 def build_device_segments(buf: np.ndarray, table: SeqTable, plan: DecodePlan,
-                          interpret: bool = False) -> list:
+                          interpret: bool = False, comp_dev=None) -> list:
     """Execute a DecodePlan with every output as a device-resident
     uint8 array: returns [(out_lo, array of exactly chain length)].
     Shared by decompress_to_device and serve.DecodeSession.  Dense
     chains go through the part-wise launcher (mxu2.PART_SUBS), bounding
-    the HBM held by routing codes regardless of chain size."""
+    the HBM held by routing codes regardless of chain size.  A caller
+    that already staged the compressed buffer passes ``comp_dev`` so
+    the sparse programs reuse it instead of shipping it again."""
     import jax
     import jax.numpy as jnp
 
@@ -685,7 +687,8 @@ def build_device_segments(buf: np.ndarray, table: SeqTable, plan: DecodePlan,
     plan = _demote_dense_on_cpu(plan, interpret)
     segs: list = []
     if plan.sparse:
-        comp_dev = jnp.asarray(buf)
+        if comp_dev is None:
+            comp_dev = jnp.asarray(buf)
         for chain, prog in plan.sparse:
             n_c = chain.out_hi - chain.out_lo
             segs.append(
@@ -759,13 +762,13 @@ def decompress_to_device(
 
     verify: "host" fetches a copy to verify block/content checksums
     with reference-parity errors (the returned array itself stays on
-    device); "device" verifies content checksums with the Pallas xxh32
-    stripe kernel over the HBM-resident output — decoded bytes never
-    cross the link, only 16-byte lane states and <16-byte tails (block
-    checksums cover the compressed input, which is host-resident, and
-    use the native engine either way); "none" skips checksum
-    verification (frame structure and sequence grammar are still fully
-    validated host-side).
+    device); "device" stages the compressed buffer once and verifies
+    everything on device — block checksums via the batched per-block
+    Pallas xxh32 kernel, content checksums via the stripe kernel over
+    the HBM-resident output (decoded bytes never cross the link, only
+    lane states and sub-stripe tails), frame by frame in reference
+    fault order; "none" skips checksum verification (frame structure
+    and sequence grammar are still fully validated host-side).
     """
     import jax
     import jax.numpy as jnp
@@ -784,8 +787,17 @@ def decompress_to_device(
         ) from e
     if table.n_out == 0:
         return jnp.zeros(0, jnp.uint8)
+    comp_dev = None
+    if verify == "device" and any(
+        blk.checksum is not None
+        for frame in parsed.frames
+        for blk in frame.blocks
+    ):
+        # stage once: the batched per-block xxh32 kernel hashes the
+        # compressed bytes in HBM, and sparse programs reuse the array
+        comp_dev = jnp.asarray(buf)
     segs = build_device_segments(buf, table, plan_decode(buf, parsed, table),
-                                 interpret)
+                                 interpret, comp_dev=comp_dev)
     out_dev = assemble_device_segments(segs, table.n_out)
     if verify == "host":
         out_np = np.asarray(jax.device_get(out_dev))
@@ -794,6 +806,7 @@ def decompress_to_device(
         _verify_checksums_device(
             buf, parsed, out_dev, table,
             interpret or jax.devices()[0].platform == "cpu",
+            comp_dev=comp_dev,
         )
     return out_dev
 

@@ -86,25 +86,58 @@ def test_patch_budget_stats():
 
 def test_round_trip_via_own_encoder():
     """Fused decode of our own encoder's output (different seq-length
-    statistics than the reference vectors)."""
+    statistics than the reference vectors).  An overflowing blob is
+    RESAMPLED deterministically, never skipped (round-2 verdict weak
+    #4: the kernel path must be exercised on every run)."""
     import lz4tpu
 
-    rng = np.random.default_rng(7)
-    # compressible-but-textlike data: repeated fragments + noise
-    frags = [rng.integers(32, 127, rng.integers(5, 40),
-                          dtype=np.uint8).tobytes() for _ in range(64)]
-    blob = b"".join(frags[rng.integers(0, 64)] for _ in range(3000))
-    data = lz4tpu.compress(blob)
+    for attempt in range(16):
+        rng = np.random.default_rng(7 + attempt)
+        # compressible-but-textlike data: repeated fragments + noise.
+        # 512 distinct fragments keep the mean repeat distance well
+        # above SUB so in-substep patches stay within budget.
+        frags = [rng.integers(32, 127, rng.integers(5, 40),
+                              dtype=np.uint8).tobytes()
+                 for _ in range(512)]
+        blob = b"".join(frags[rng.integers(0, 512)] for _ in range(3000))
+        data = lz4tpu.compress(blob)
+        buf = np.frombuffer(data, np.uint8)
+        parsed = parse_frames(buf, FOR_ALL)
+        t = build_seq_table(buf, parsed, FOR_ALL, data)
+        try:
+            prep = fused.prep_fused(
+                t.lit_len, t.match_len, t.match_off, t.lit_src, buf
+            )
+        except fused.FusedOverflow:
+            continue
+        _check_spans(fused.golden_decode(prep), prep, blob)
+        return
+    raise AssertionError(
+        "16 consecutive resamples exceeded fused budgets — the "
+        "generator no longer produces in-budget streams"
+    )
+
+
+def test_guaranteed_overflow_falls_back():
+    """A stream that MUST overflow the patch budget (every byte an
+    offset-2 in-substep reference) pins the FusedOverflow fallback:
+    prep raises, the public pipeline still decodes bit-exactly off the
+    fused path."""
+    import lz4tpu
+    from lz4tpu.pipeline import DecodeStats, decompress_device
+
+    payload = b"ab" * 120_000
+    data = lz4tpu.compress(payload)
     buf = np.frombuffer(data, np.uint8)
     parsed = parse_frames(buf, FOR_ALL)
     t = build_seq_table(buf, parsed, FOR_ALL, data)
-    try:
-        prep = fused.prep_fused(
+    with pytest.raises(fused.FusedOverflow):
+        fused.prep_fused(
             t.lit_len, t.match_len, t.match_off, t.lit_src, buf
         )
-    except fused.FusedOverflow:
-        pytest.skip("random blob exceeded fused budgets")
-    _check_spans(fused.golden_decode(prep), prep, blob)
+    st = DecodeStats()
+    assert decompress_device(data, interpret=True, stats=st) == payload
+    assert "fused" not in st.engine_chains
 
 
 @pytest.mark.parametrize("name", ["t389", "t100k", "t1111k", "concat390"])

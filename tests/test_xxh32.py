@@ -106,3 +106,31 @@ def test_verify_device_block_checksums():
             bbuf, parse_frames(buf, FOR_ALL), out_dev, table,
             interpret=True, comp_dev=jnp.asarray(bbuf),
         )
+
+def test_verify_device_multiframe_fault_order():
+    """Frames verify in order, each frame's block checksums before its
+    content checksum (advisor r2 medium): content-checksum fault in
+    frame 1 + block-checksum fault in frame 2 must raise frame 1's
+    error from BOTH verify modes, matching the streaming reference's
+    per-frame interleaving (lz4ada.adb:672-676, 491-513)."""
+    import numpy as np
+    import pytest
+
+    import lz4tpu
+    from lz4tpu.errors import ChecksumError
+    from lz4tpu.pipeline import decompress_to_device
+
+    f1 = bytearray(lz4tpu.compress(b"alpha " * 300, content_checksum=True,
+                                   block_checksum=False))
+    f2 = bytearray(lz4tpu.compress(b"beta " * 300, content_checksum=False,
+                                   block_checksum=True))
+    f1[-2] ^= 0x01          # frame 1 content checksum byte
+    f2[25] ^= 0x40          # frame 2 block payload -> block checksum
+    data = bytes(f1 + f2)
+    msgs = {}
+    for mode in ("host", "device"):
+        with pytest.raises(ChecksumError) as ei:
+            decompress_to_device(data, verify=mode)
+        msgs[mode] = str(ei.value)
+    assert msgs["host"] == msgs["device"]
+    assert "Content" in msgs["host"] or "content" in msgs["host"]
