@@ -352,8 +352,8 @@ def _prep_fused_native(lit_len, match_len, match_off, lit_src, buf,
     lit_acc = 0
     n_sub_total = 0
     for cid, (lo, hi) in enumerate(chain_ranges):
-        n_lit = int(lit_len[lo:hi].astype(np.int64).sum())
-        n_out = int(n_lit + match_len[lo:hi].astype(np.int64).sum())
+        n_lit = int(np.sum(lit_len[lo:hi], dtype=np.int64))
+        n_out = n_lit + int(np.sum(match_len[lo:hi], dtype=np.int64))
         n_sub_c = -(-n_out // SUB) if n_out else 0
         metas.append((cid, lo, hi, n_lit, n_out, n_sub_c,
                       lit_acc, n_sub_total))

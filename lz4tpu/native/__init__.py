@@ -95,9 +95,10 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.lz4tpu_prep_fused.restype = c.c_int32
     lib.lz4tpu_prep_fused.argtypes = [
         i32p, i32p, i32p, i32p, c.c_int64,       # ll, ml, mo, ls, S
-        u8p,                                      # buf
+        u8p, c.c_int64,                           # buf, buf_len
         c.c_int64, c.c_int64,                     # lit_base, n_win
-        u8p, i32p, i32p, i32p, i32p,              # lits, winq, scal,
+        u8p, c.c_int64,                           # lits, lit_cap
+        i32p, i32p, i32p, i32p,                   # winq, scal,
         i64p,                                     # seqrec, patch, counts
         c.c_int32,                                # n_threads
     ]
@@ -266,8 +267,8 @@ def pack_dense2_chain(
     """
     c = ctypes
     i32p = c.POINTER(c.c_int32)
-    n_out = int(lit_len.astype(np.int64).sum()
-                + match_len.astype(np.int64).sum())
+    n_out = int(np.sum(lit_len, dtype=np.int64)
+                + np.sum(match_len, dtype=np.int64))
     if out is None:
         code = np.zeros(n_out + 16, np.int32)
     else:
@@ -372,10 +373,13 @@ def prep_fused_chain(ll, ml, mo, ls, buf, lit_base, n_win,
         return a.ctypes.data_as(i32p)
 
     counts = np.zeros(2, np.int64)
+    buf8 = _as_u8(buf)
     st = _get().lz4tpu_prep_fused(
         ip(ll), ip(ml), ip(mo), ip(ls), c.c_int64(ll.size),
-        _u8ptr(_as_u8(buf)), c.c_int64(lit_base), c.c_int64(n_win),
-        _u8ptr(lits), ip(winq), ip(scal), ip(seqrec), ip(patch),
+        _u8ptr(buf8), c.c_int64(buf8.size),
+        c.c_int64(lit_base), c.c_int64(n_win),
+        _u8ptr(lits), c.c_int64(lits.size),
+        ip(winq), ip(scal), ip(seqrec), ip(patch),
         counts.ctypes.data_as(c.POINTER(c.c_int64)),
         c.c_int32(n_threads if n_threads is not None
                   else pack_threads()),

@@ -26,6 +26,10 @@
 #include <thread>
 #include <vector>
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
+
 // Phase profiler for lz4tpu_prep_fused (serial path only): set
 // LZ4TPU_PREP_PROFILE=1 to print per-phase nanoseconds to stderr.
 static inline int64_t fz_now_ns(void) {
@@ -1214,7 +1218,38 @@ int64_t lz4tpu_pack_dense2(
 #define FZ_WINQ 4096
 #define FZ_TAG (INT64_C(1) << 17)
 
-static inline int64_t fz_owner(const int64_t* starts, int64_t n, int64_t p) {
+// Grow-only per-thread scratch for the fused prep (starts/litpos/wb
+// in i64, counts/rec_counts/candidates in i32).  Thread-local: the
+// Python layer preps independent chains from a thread pool.
+typedef struct {
+    int64_t* i64; size_t i64cap;
+    int32_t* i32; size_t i32cap;
+} fz_arena;
+
+static fz_arena* fz_arena_get(void) {
+    static thread_local fz_arena a = { nullptr, 0, nullptr, 0 };
+    return &a;
+}
+
+static int fz_arena_reserve(fz_arena* a, int64_t n64, int64_t n32) {
+    if ((size_t)n64 > a->i64cap) {
+        size_t cap = a->i64cap ? a->i64cap : 4096;
+        while (cap < (size_t)n64) cap *= 2;
+        int64_t* p = (int64_t*)realloc(a->i64, cap * sizeof(int64_t));
+        if (!p) return -1;
+        a->i64 = p; a->i64cap = cap;
+    }
+    if ((size_t)n32 > a->i32cap) {
+        size_t cap = a->i32cap ? a->i32cap : 4096;
+        while (cap < (size_t)n32) cap *= 2;
+        int32_t* p = (int32_t*)realloc(a->i32, cap * sizeof(int32_t));
+        if (!p) return -1;
+        a->i32 = p; a->i32cap = cap;
+    }
+    return 0;
+}
+
+static inline int64_t fz_owner(const int32_t* starts, int64_t n, int64_t p) {
     // largest s in [0, n) with starts[s] <= p (clipped to 0)
     int64_t lo = 0, hi = n;
     while (lo < hi) {
@@ -1222,6 +1257,18 @@ static inline int64_t fz_owner(const int64_t* starts, int64_t n, int64_t p) {
         if (starts[mid] <= p) lo = mid + 1; else hi = mid;
     }
     return lo > 0 ? lo - 1 : 0;
+}
+
+// Same, bisecting only [lo0, hi0) — callers pass the substep's seq
+// window from so_arr, halving bisect depth and staying cache-hot.
+static inline int64_t fz_owner_win(const int32_t* starts, int64_t lo0,
+                                   int64_t hi0, int64_t p) {
+    int64_t lo = lo0, hi = hi0;
+    while (lo < hi) {
+        int64_t mid = (lo + hi) >> 1;
+        if (starts[mid] <= p) lo = mid + 1; else hi = mid;
+    }
+    return lo > lo0 ? lo - 1 : lo0;
 }
 
 static inline int fz_digits2(int64_t x, int64_t* d0, int64_t* d1,
@@ -1247,54 +1294,66 @@ typedef struct {
     int32_t* patch;
     int32_t* counts;      // per-substep patch slots used
     int32_t* rec_counts;  // per-substep seq-record slots used
-    const int64_t *starts, *litpos;
-    const int64_t* wb_arr;
+    const int32_t *starts, *litpos;
+    const int32_t* wb_arr;
+    int32_t* so_arr;      // [n_sub]: seq owning each substep base
     int64_t n_sub, n_out;
 } fz_ctx;
 
 #define FZ_LLv(c, s) ((s) < (c)->S ? (int64_t)(c)->ll[(s)] : 0)
 #define FZ_MOv(c, s) ((s) < (c)->S ? (int64_t)(c)->mo[(s)] : 1)
 
+// phase-2 body for one substep i; s0p/csp are persistent forward-only
+// seq pointers owned by the caller (the owner of i*SUB and of
+// i*SUB - 1 respectively)
+static inline void fz_scal_one(const fz_ctx* c, int64_t i,
+                               int64_t* s0p_io, int64_t* csp_io,
+                               int32_t* wb_out) {
+    int64_t s0p = *s0p_io, csp = *csp_io;
+    const int64_t sb = i * FZ_SUB;
+    while (c->starts[s0p + 1] <= sb) ++s0p;
+    int64_t local0 = sb - c->starts[s0p];
+    int64_t l0 = FZ_LLv(c, s0p);
+    if (local0 < 0) local0 = 0;
+    if (local0 > l0) local0 = l0;
+    const int64_t consumed = c->litpos[s0p] + local0;
+    int64_t wq = consumed / FZ_WINQ;
+    if (wq > c->n_win - 1) wq = c->n_win - 1;
+    const int64_t wo = ((consumed - wq * FZ_WINQ) >> 8) & ~(int64_t)7;
+    const int64_t wabs = wq * (FZ_WINQ >> 8) + wo;
+    const int64_t wbb = wabs << 8;
+    const int64_t pb = sb > 0 ? sb - 1 : 0;
+    while (c->starts[csp + 1] <= pb) ++csp;
+    int64_t u0 = FZ_SUB + (c->litpos[csp] - wbb)
+                 - (c->starts[csp] - sb);
+    if (u0 < 0) u0 = 0;
+    if (u0 > 16383) u0 = 16383;
+    const int64_t v0 = (sb - FZ_MOv(c, csp)) & 0xFFFF;
+    int64_t b0 = c->starts[csp] + FZ_LLv(c, csp) - sb;
+    if (b0 < 0) b0 = 0;
+    if (b0 > 8191) b0 = 8191;
+    c->winq[i] = (int32_t)wq;
+    c->scal[i * 8 + 0] = (int32_t)((i * (FZ_SUB / 256)) % 256);
+    c->scal[i * 8 + 1] = (int32_t)wo;
+    c->scal[i * 8 + 2] = (int32_t)wabs;
+    c->scal[i * 8 + 3] = (int32_t)u0;
+    c->scal[i * 8 + 4] = (int32_t)v0;
+    c->scal[i * 8 + 5] = (int32_t)b0;
+    c->scal[i * 8 + 6] = 0;
+    c->scal[i * 8 + 7] = 0;
+    wb_out[i] = (int32_t)wbb;
+    c->so_arr[i] = (int32_t)s0p;
+    *s0p_io = s0p; *csp_io = csp;
+}
+
 // phase 2: per-substep scalars for substeps [i_lo, i_hi)
 static int32_t fz_scal_range(const fz_ctx* c, int64_t i_lo, int64_t i_hi,
-                             int64_t* wb_out) {
+                             int32_t* wb_out) {
     int64_t s0p = fz_owner(c->starts, c->S + 1, i_lo * FZ_SUB);
     int64_t csp = fz_owner(c->starts, c->S + 1,
                            i_lo > 0 ? i_lo * FZ_SUB - 1 : 0);
-    for (int64_t i = i_lo; i < i_hi; ++i) {
-        const int64_t sb = i * FZ_SUB;
-        while (c->starts[s0p + 1] <= sb) ++s0p;
-        int64_t local0 = sb - c->starts[s0p];
-        int64_t l0 = FZ_LLv(c, s0p);
-        if (local0 < 0) local0 = 0;
-        if (local0 > l0) local0 = l0;
-        const int64_t consumed = c->litpos[s0p] + local0;
-        int64_t wq = consumed / FZ_WINQ;
-        if (wq > c->n_win - 1) wq = c->n_win - 1;
-        const int64_t wo = ((consumed - wq * FZ_WINQ) >> 8) & ~(int64_t)7;
-        const int64_t wabs = wq * (FZ_WINQ >> 8) + wo;
-        const int64_t wbb = wabs << 8;
-        const int64_t pb = sb > 0 ? sb - 1 : 0;
-        while (c->starts[csp + 1] <= pb) ++csp;
-        int64_t u0 = FZ_SUB + (c->litpos[csp] - wbb)
-                     - (c->starts[csp] - sb);
-        if (u0 < 0) u0 = 0;
-        if (u0 > 16383) u0 = 16383;
-        const int64_t v0 = (sb - FZ_MOv(c, csp)) & 0xFFFF;
-        int64_t b0 = c->starts[csp] + FZ_LLv(c, csp) - sb;
-        if (b0 < 0) b0 = 0;
-        if (b0 > 8191) b0 = 8191;
-        c->winq[i] = (int32_t)wq;
-        c->scal[i * 8 + 0] = (int32_t)((i * (FZ_SUB / 256)) % 256);
-        c->scal[i * 8 + 1] = (int32_t)wo;
-        c->scal[i * 8 + 2] = (int32_t)wabs;
-        c->scal[i * 8 + 3] = (int32_t)u0;
-        c->scal[i * 8 + 4] = (int32_t)v0;
-        c->scal[i * 8 + 5] = (int32_t)b0;
-        c->scal[i * 8 + 6] = 0;
-        c->scal[i * 8 + 7] = 0;
-        wb_out[i] = wbb;
-    }
+    for (int64_t i = i_lo; i < i_hi; ++i)
+        fz_scal_one(c, i, &s0p, &csp, wb_out);
     return 0;
 }
 
@@ -1363,15 +1422,13 @@ static void fz_zero_tails(const fz_ctx* c, int64_t i_lo, int64_t i_hi) {
     }
 }
 
-// phase 4: in-substep patches whose TARGET substep lies in
-// [i_lo, i_hi) (one writer per substep: no slot races, serial order).
-static int32_t fz_patch_range(const fz_ctx* c, int64_t i_lo,
-                              int64_t i_hi, int64_t* npat_out) {
-    const int64_t lo_b = i_lo * FZ_SUB, hi_b = i_hi * FZ_SUB;
-    int64_t npat = 0;
-    int64_t s = fz_owner(c->starts, c->S + 1, lo_b);
-    for (; s < c->S && c->starts[s] < hi_b; ++s) {
-        if (c->ml[s] <= 0 || c->mo[s] >= FZ_SUB) continue;
+// phase-4 body for one patch-candidate seq s (ml>0 && mo<SUB):
+// emit patches for its match pieces whose target substep base lies in
+// [lo_b, hi_b).  Returns 0 or a negative overflow code.
+static inline int32_t fz_patch_seq(const fz_ctx* c, int64_t s,
+                                   int64_t lo_b, int64_t hi_b,
+                                   int64_t* npat_io) {
+    {
         const int64_t moff = c->mo[s];
         const int64_t mstart = c->starts[s] + c->ll[s];
         const int64_t mend = c->starts[s + 1];
@@ -1387,7 +1444,11 @@ static int32_t fz_patch_range(const fz_ctx* c, int64_t i_lo,
             int64_t plo = sb + moff;
             if (cur_lo > plo) plo = cur_lo;
             if (plo >= pe) { cur_lo = pe; continue; }
-            int64_t hint = fz_owner(c->starts, c->S + 1, plo - moff);
+            const int64_t w_lo = c->so_arr[si];
+            const int64_t w_hi = si + 1 < c->n_sub
+                ? (int64_t)c->so_arr[si + 1] + 1 : c->S + 1;
+            int64_t hint = fz_owner_win(c->starts, w_lo, w_hi,
+                                        plo - moff);
             int64_t p = plo;
             while (p < pe) {
                 // resolve byte p, tracking how many FOLLOWING bytes
@@ -1407,7 +1468,7 @@ static int32_t fz_patch_range(const fz_ctx* c, int64_t i_lo,
                         while (c->starts[hint + 1] <= p2) ++hint;
                         s2 = hint;
                     } else {
-                        s2 = fz_owner(c->starts, c->S + 1, p2);
+                        s2 = fz_owner_win(c->starts, w_lo, w_hi, p2);
                     }
                     const int64_t local = p2 - c->starts[s2];
                     const int64_t llv = FZ_LLv(c, s2);
@@ -1454,12 +1515,270 @@ static int32_t fz_patch_range(const fz_ctx* c, int64_t i_lo,
                 const int64_t base = ((p - sb) << 18) | code | FZ_TAG;
                 for (int64_t k = 0; k < rem; ++k)
                     dst[k] = (int32_t)(base + k * ((1 << 18) | 1));
-                npat += rem;
+                *npat_io += rem;
                 p += rem;
             }
             cur_lo = pe;
         }
     }
+    return 0;
+}
+
+// phase 4: in-substep patches whose TARGET substep lies in
+// [i_lo, i_hi) (one writer per substep: no slot races, serial order).
+static int32_t fz_patch_range(const fz_ctx* c, int64_t i_lo,
+                              int64_t i_hi, int64_t* npat_out) {
+    const int64_t lo_b = i_lo * FZ_SUB, hi_b = i_hi * FZ_SUB;
+    int64_t npat = 0;
+    int64_t s = fz_owner(c->starts, c->S + 1, lo_b);
+    for (; s < c->S && c->starts[s] < hi_b; ++s) {
+        if (c->ml[s] <= 0 || c->mo[s] >= FZ_SUB) continue;
+        int32_t st = fz_patch_seq(c, s, lo_b, hi_b, &npat);
+        if (st) return st;
+    }
+    *npat_out = npat;
+    return 0;
+}
+
+// Fused serial pass: ONE scan over the sequences emits per-substep
+// scalars (triggered at substep boundaries), sequence records, and a
+// compact list of patch-candidate seqs; patches then walk only the
+// candidates.  Output-identical to fz_scal_range + fz_records_range +
+// fz_patch_range over the full range (same per-substep slot order),
+// and error precedence matches too: all records errors precede any
+// patch error, lowest position first.  The separate range functions
+// remain for the threaded path; a differential test pins the two.
+static int32_t fz_fused_serial(const fz_ctx* c, int32_t* wb_out,
+                               int64_t* nrec_out, int64_t* npat_out,
+                               int32_t* cand, int64_t* ncand_out) {
+    const int64_t S = c->S, n_sub = c->n_sub;
+    int64_t next_sub = 0, s0p = 0, csp = 0;
+    int64_t cur_sub = -1, slot = 0;
+    int64_t prevU = 0, prevV = 0, prevB = 0;
+    int64_t nrec = 0, ncand = 0;
+    for (int64_t s = 0; s < S; ) {
+#if defined(__AVX2__)
+        // ---- 8-wide vector path ----
+        // Preconditions: 8 more seqs, all starting in ONE substep,
+        // none zero-length, record budget has room.  Byte-identical
+        // to the scalar body: same records, same slot order, same
+        // candidate order; any range/digit violation bails to the
+        // scalar body (uncommitted), which reproduces the exact
+        // error code at the right sequence.  Boundary scal emission
+        // moves to block entry (base <= starts[s]) — equivalent to
+        // the scalar trigger because a seq whose span crosses a
+        // boundary forces its successor into a later substep, which
+        // fails the one-substep precondition and goes scalar.
+        if (s + 8 <= S) {
+            const int32_t* stp = c->starts + s;
+            const int64_t st0 = stp[0];
+            const int64_t sub0 = st0 >> FZ_SUB_SHIFT;
+            if ((stp[7] >> FZ_SUB_SHIFT) == sub0) {
+                while (next_sub < n_sub && next_sub * FZ_SUB <= st0) {
+                    fz_scal_one(c, next_sub, &s0p, &csp, wb_out);
+                    ++next_sub;
+                }
+                __m256i stv = _mm256_loadu_si256((const __m256i*)stp);
+                __m256i stn = _mm256_loadu_si256((const __m256i*)(stp + 1));
+                int nz = _mm256_movemask_ps(_mm256_castsi256_ps(
+                    _mm256_cmpgt_epi32(stn, stv)));
+                int64_t slot_v = (sub0 == cur_sub) ? slot : 0;
+                if (nz == 0xFF && slot_v + 8 <= FZ_SEQ_MAX) {
+                    int64_t pu, pv, pb2;
+                    if (sub0 == cur_sub) {
+                        pu = prevU; pv = prevV; pb2 = prevB;
+                    } else {
+                        pu = c->scal[sub0 * 8 + 3];
+                        pv = c->scal[sub0 * 8 + 4];
+                        pb2 = c->scal[sub0 * 8 + 5];
+                    }
+                    const __m256i k255 = _mm256_set1_epi32(255);
+                    const __m256i k128 = _mm256_set1_epi32(128);
+                    const __m256i pos12v = _mm256_and_si256(
+                        stv, _mm256_set1_epi32(FZ_SUB - 1));
+                    const __m256i lpv = _mm256_loadu_si256(
+                        (const __m256i*)(c->litpos + s));
+                    const __m256i llv = _mm256_loadu_si256(
+                        (const __m256i*)(c->ll + s));
+                    const __m256i mov = _mm256_loadu_si256(
+                        (const __m256i*)(c->mo + s));
+                    const int32_t wb0 = c->wb_arr[sub0];
+                    // U = (SUB - wb) + litpos - pos12
+                    __m256i Uv = _mm256_add_epi32(
+                        _mm256_set1_epi32((int32_t)(FZ_SUB - wb0)),
+                        _mm256_sub_epi32(lpv, pos12v));
+                    // V = (sub_base - mo) & 0xFFFF
+                    __m256i Vv = _mm256_and_si256(
+                        _mm256_sub_epi32(
+                            _mm256_set1_epi32(
+                                (int32_t)(sub0 * FZ_SUB)), mov),
+                        _mm256_set1_epi32(0xFFFF));
+                    // B = min(pos12 + ll, 8191)
+                    __m256i Bv = _mm256_min_epi32(
+                        _mm256_add_epi32(pos12v, llv),
+                        _mm256_set1_epi32(8191));
+                    // previous-record vectors (rotate + carry lane 0)
+                    const __m256i rot = _mm256_setr_epi32(
+                        7, 0, 1, 2, 3, 4, 5, 6);
+                    __m256i Upr = _mm256_blend_epi32(
+                        _mm256_permutevar8x32_epi32(Uv, rot),
+                        _mm256_set1_epi32((int32_t)pu), 1);
+                    __m256i Vpr = _mm256_blend_epi32(
+                        _mm256_permutevar8x32_epi32(Vv, rot),
+                        _mm256_set1_epi32((int32_t)pv), 1);
+                    __m256i Bpr = _mm256_blend_epi32(
+                        _mm256_permutevar8x32_epi32(Bv, rot),
+                        _mm256_set1_epi32((int32_t)pb2), 1);
+                    __m256i dU = _mm256_sub_epi32(Uv, Upr);
+                    __m256i dV = _mm256_sub_epi32(Vv, Vpr);
+                    __m256i dB = _mm256_sub_epi32(Bv, Bpr);
+                    // balanced base-256 digits
+                    #define FZ_DIG(x, d0, x1, d1, cc)                   \
+                        __m256i d0 = _mm256_sub_epi32(                  \
+                            _mm256_and_si256(                           \
+                                _mm256_add_epi32(x, k128), k255), k128);\
+                        __m256i x1 = _mm256_srai_epi32(                 \
+                            _mm256_sub_epi32(x, d0), 8);                \
+                        __m256i d1 = _mm256_sub_epi32(                  \
+                            _mm256_and_si256(                           \
+                                _mm256_add_epi32(x1, k128), k255),      \
+                            k128);                                      \
+                        __m256i cc = _mm256_srai_epi32(                 \
+                            _mm256_sub_epi32(x1, d1), 8)
+                    FZ_DIG(dU, du0, xu1, du1, cu);
+                    FZ_DIG(dV, dv0, xv1, dv1, cv);
+                    FZ_DIG(dB, db0, xb1, db1, cb);
+                    #undef FZ_DIG
+                    // violations: U<=0, U>=16384, cu!=0, cb!=0, |cv|>3
+                    __m256i zero = _mm256_setzero_si256();
+                    __m256i bad = _mm256_or_si256(
+                        _mm256_cmpgt_epi32(_mm256_set1_epi32(1), Uv),
+                        _mm256_cmpgt_epi32(Uv,
+                                           _mm256_set1_epi32(16383)));
+                    bad = _mm256_or_si256(bad, _mm256_xor_si256(
+                        _mm256_cmpeq_epi32(cu, zero),
+                        _mm256_set1_epi32(-1)));
+                    bad = _mm256_or_si256(bad, _mm256_xor_si256(
+                        _mm256_cmpeq_epi32(cb, zero),
+                        _mm256_set1_epi32(-1)));
+                    bad = _mm256_or_si256(bad, _mm256_cmpgt_epi32(
+                        _mm256_abs_epi32(cv), _mm256_set1_epi32(3)));
+                    if (_mm256_testz_si256(bad, bad)) {
+                        __m256i rec0 = _mm256_or_si256(
+                            _mm256_or_si256(
+                                pos12v,
+                                _mm256_slli_epi32(
+                                    _mm256_add_epi32(du0, k128), 12)),
+                            _mm256_or_si256(
+                                _mm256_slli_epi32(
+                                    _mm256_add_epi32(du1, k128), 20),
+                                _mm256_slli_epi32(
+                                    _mm256_add_epi32(
+                                        cv, _mm256_set1_epi32(4)),
+                                    28)));
+                        __m256i rec1 = _mm256_or_si256(
+                            _mm256_or_si256(
+                                _mm256_add_epi32(dv0, k128),
+                                _mm256_slli_epi32(
+                                    _mm256_add_epi32(dv1, k128), 8)),
+                            _mm256_or_si256(
+                                _mm256_slli_epi32(
+                                    _mm256_add_epi32(db0, k128), 16),
+                                _mm256_slli_epi32(
+                                    _mm256_add_epi32(db1, k128), 24)));
+                        int32_t* p0 = c->seqrec
+                            + (sub0 * 2 + 0) * FZ_SEQ_MAX + slot_v;
+                        int32_t* p1 = c->seqrec
+                            + (sub0 * 2 + 1) * FZ_SEQ_MAX + slot_v;
+                        _mm256_storeu_si256((__m256i*)p0, rec0);
+                        _mm256_storeu_si256((__m256i*)p1, rec1);
+                        cur_sub = sub0;
+                        slot = slot_v + 8;
+                        nrec += 8;
+                        c->rec_counts[sub0] = (int32_t)slot;
+                        prevU = _mm256_extract_epi32(Uv, 7);
+                        prevV = _mm256_extract_epi32(Vv, 7);
+                        prevB = _mm256_extract_epi32(Bv, 7);
+                        const __m256i mlv = _mm256_loadu_si256(
+                            (const __m256i*)(c->ml + s));
+                        int cm = _mm256_movemask_ps(_mm256_castsi256_ps(
+                            _mm256_and_si256(
+                                _mm256_cmpgt_epi32(mlv, zero),
+                                _mm256_cmpgt_epi32(
+                                    _mm256_set1_epi32(FZ_SUB), mov))));
+                        while (cm) {
+                            int k = __builtin_ctz(cm);
+                            cand[ncand++] = (int32_t)(s + k);
+                            cm &= cm - 1;
+                        }
+                        s += 8;
+                        continue;
+                    }
+                }
+            }
+        }
+#endif
+        const int64_t st = c->starts[s];
+        const int64_t end = c->starts[s + 1];
+        if (end <= st) { ++s; continue; }
+        while (next_sub < n_sub && next_sub * FZ_SUB < end) {
+            fz_scal_one(c, next_sub, &s0p, &csp, wb_out);
+            ++next_sub;
+        }
+        // ---- record (phase-3 body) ----
+        const int64_t sub_i = st >> FZ_SUB_SHIFT;
+        const int64_t pos12 = st - sub_i * FZ_SUB;
+        const int64_t U = FZ_SUB + (c->litpos[s] - c->wb_arr[sub_i])
+                          - pos12;
+        if (U <= 0 || U >= 16384) return -15;
+        const int64_t V = (sub_i * FZ_SUB - c->mo[s]) & 0xFFFF;
+        int64_t B = pos12 + c->ll[s];
+        if (B > 8191) B = 8191;
+        int64_t pu, pv, pb2;
+        if (sub_i == cur_sub) { pu = prevU; pv = prevV; pb2 = prevB; }
+        else {
+            cur_sub = sub_i; slot = 0;
+            pu = c->scal[sub_i * 8 + 3];
+            pv = c->scal[sub_i * 8 + 4];
+            pb2 = c->scal[sub_i * 8 + 5];
+        }
+        if (slot >= FZ_SEQ_MAX) return -10;
+        int64_t du0, du1, cu, dv0, dv1, cv, db0, db1, cb;
+        fz_digits2(U - pu, &du0, &du1, &cu);
+        fz_digits2(V - pv, &dv0, &dv1, &cv);
+        fz_digits2(B - pb2, &db0, &db1, &cb);
+        if (cu != 0 || cb != 0 || cv < -3 || cv > 3) return -12;
+        c->seqrec[(sub_i * 2 + 0) * FZ_SEQ_MAX + slot] = (int32_t)(
+            pos12 | ((du0 + 128) << 12) | ((du1 + 128) << 20)
+            | ((cv + 4) << 28));
+        c->seqrec[(sub_i * 2 + 1) * FZ_SEQ_MAX + slot] = (int32_t)(
+            (dv0 + 128) | ((dv1 + 128) << 8) | ((db0 + 128) << 16)
+            | ((db1 + 128) << 24));
+        ++slot; ++nrec;
+        c->rec_counts[sub_i] = (int32_t)slot;
+        prevU = U; prevV = V; prevB = B;
+        if (c->ml[s] > 0 && c->mo[s] < FZ_SUB)
+            cand[ncand++] = (int32_t)s;
+        ++s;
+    }
+    // trailing substeps with no seq start past them (match spans)
+    while (next_sub < n_sub) {
+        fz_scal_one(c, next_sub, &s0p, &csp, wb_out);
+        ++next_sub;
+    }
+    *nrec_out = nrec;
+    *ncand_out = ncand;
+    // ---- patches over candidates only ----
+    const int64_t tb2 = getenv("LZ4TPU_PREP_PROFILE") ? fz_now_ns() : 0;
+    int64_t npat = 0;
+    const int64_t hi_b = n_sub * FZ_SUB;
+    for (int64_t k = 0; k < ncand; ++k) {
+        int32_t st2 = fz_patch_seq(c, cand[k], 0, hi_b, &npat);
+        if (st2) return st2;
+    }
+    if (tb2)
+        fprintf(stderr, "  fused: B1 scan+rec ends, B2 patches %.3f ms\n",
+                (fz_now_ns() - tb2) * 1e-6);
     *npat_out = npat;
     return 0;
 }
@@ -1474,9 +1793,10 @@ static int32_t fz_patch_range(const fz_ctx* c, int64_t i_lo,
 int32_t lz4tpu_prep_fused(
     const int32_t* ll, const int32_t* ml, const int32_t* mo,
     const int32_t* ls, int64_t S,
-    const uint8_t* buf,
+    const uint8_t* buf, int64_t buf_len,
     int64_t lit_base, int64_t n_win,
     uint8_t* lits,           // [chain literal bytes]
+    int64_t lit_cap,         // writable bytes at lits
     int32_t* winq,           // [n_sub]
     int32_t* scal,           // [n_sub * 8]
     int32_t* seqrec,         // [n_sub * 2 * FZ_SEQ_MAX]
@@ -1485,18 +1805,30 @@ int32_t lz4tpu_prep_fused(
     int32_t n_threads) {
     const int prof = getenv("LZ4TPU_PREP_PROFILE") != NULL;
     int64_t tp0 = prof ? fz_now_ns() : 0;
-    int64_t* starts = (int64_t*)malloc((size_t)(S + 2) * sizeof(int64_t));
-    int64_t* litpos = (int64_t*)malloc((size_t)(S + 2) * sizeof(int64_t));
-    if (!starts || !litpos) { free(starts); free(litpos); return -99; }
+    // grow-only thread-local scratch: fresh multi-MB mallocs cost up
+    // to ~2 ms in first-touch page faults per request (measured).
+    // Positions are int32 (the batched pipeline's 2 GiB capacity
+    // invariant bounds every position below 2**31; defensively checked
+    // after the cumsum) — halves the bisects' cache footprint.
+    fz_arena* A = fz_arena_get();
+    const int64_t ns1 = 1 > (S + 2) ? 1 : (S + 2);
+    if (fz_arena_reserve(A, 0, 2 * ns1)) return -99;
+    int32_t* starts = A->i32;
+    int32_t* litpos = A->i32 + ns1;
     int64_t out = 0, lp = lit_base;
     for (int64_t s = 0; s < S; ++s) {
-        starts[s] = out; litpos[s] = lp;
+        starts[s] = (int32_t)out; litpos[s] = (int32_t)lp;
         const int64_t n = ll[s];
         if (n) {
             uint8_t* d = lits + (lp - lit_base);
             const uint8_t* q = buf + ls[s];
-            if (n <= 16) {
-                for (int64_t k = 0; k < n; ++k) d[k] = q[k];
+            if (n <= 16 && ls[s] + 16 <= buf_len
+                && (lp - lit_base) + 16 <= lit_cap) {
+                // wild copy (cf. the reference's Write_Output wild
+                // copies, lz4ada.adb:807-817): every literal position
+                // is owned by exactly one run and runs write in
+                // order, so a later run overwrites our spill
+                memcpy(d, q, 16);
             } else {
                 memcpy(d, q, (size_t)n);
             }
@@ -1505,44 +1837,41 @@ int32_t lz4tpu_prep_fused(
         lp += n;
     }
     const int64_t n_out = out;
-    starts[S] = n_out; starts[S + 1] = INT64_C(0x7FFFFFFF);
-    litpos[S] = lp; litpos[S + 1] = lp;
+    if (out >= INT64_C(0x7FFFFFF0) || lp >= INT64_C(0x7FFFFFF0))
+        return -98;   // beyond int32 positions (pipeline never sends this)
+    starts[S] = (int32_t)n_out; starts[S + 1] = INT32_C(0x7FFFFFFF);
+    litpos[S] = (int32_t)lp; litpos[S + 1] = (int32_t)lp;
     const int64_t n_sub = (n_out + FZ_SUB - 1) / FZ_SUB;
-    int64_t* wb_arr = (int64_t*)malloc(
-        (size_t)(n_sub ? n_sub : 1) * sizeof(int64_t));
-    int32_t* counts = (int32_t*)calloc((size_t)(n_sub ? n_sub : 1), 4);
-    int32_t* rec_counts = (int32_t*)calloc(
-        (size_t)(n_sub ? n_sub : 1), 4);
-    if (!wb_arr || !counts || !rec_counts) {
-        free(starts); free(litpos); free(wb_arr); free(counts);
-        free(rec_counts);
+    const int64_t nsub1 = n_sub ? n_sub : 1;
+    if (fz_arena_reserve(A, 0, 2 * ns1 + 4 * nsub1 + S + 1))
         return -99;
-    }
+    starts = A->i32;             // reserve may have moved the arena
+    litpos = A->i32 + ns1;
+    int32_t* wb_arr = A->i32 + 2 * ns1;
+    int32_t* counts = A->i32 + 2 * ns1 + nsub1;
+    int32_t* rec_counts = A->i32 + 2 * ns1 + 2 * nsub1;
+    int32_t* so_arr = A->i32 + 2 * ns1 + 3 * nsub1;
+    int32_t* cand = A->i32 + 2 * ns1 + 4 * nsub1;
+    memset(counts, 0, (size_t)nsub1 * 4);
+    memset(rec_counts, 0, (size_t)nsub1 * 4);
     fz_ctx c = { ll, ml, mo, ls, S, buf, lit_base, n_win, lits, winq,
                  scal, seqrec, patch, counts, rec_counts, starts,
-                 litpos, wb_arr, n_sub, n_out };
+                 litpos, wb_arr, so_arr, n_sub, n_out };
     int32_t ret = 0;
-    int64_t nrec = 0, npat = 0;
+    int64_t nrec = 0, npat = 0, ncand = 0;
     if (prof) {
         int64_t t1 = fz_now_ns();
-        ret = fz_scal_range(&c, 0, n_sub, wb_arr);
+        ret = fz_fused_serial(&c, wb_arr, &nrec, &npat, cand, &ncand);
         int64_t t2 = fz_now_ns();
-        if (ret == 0) ret = fz_records_range(&c, 0, n_sub, &nrec);
-        int64_t t3 = fz_now_ns();
-        if (ret == 0) ret = fz_patch_range(&c, 0, n_sub, &npat);
-        int64_t t4 = fz_now_ns();
         if (ret == 0) fz_zero_tails(&c, 0, n_sub);
-        int64_t t5 = fz_now_ns();
+        int64_t t3 = fz_now_ns();
         fprintf(stderr,
-                "prep_fused S=%lld n_sub=%lld: lits+starts %.3f ms, "
-                "scal %.3f, records %.3f, patches %.3f, tails %.3f\n",
-                (long long)S, (long long)n_sub, (t1 - tp0) * 1e-6,
-                (t2 - t1) * 1e-6, (t3 - t2) * 1e-6, (t4 - t3) * 1e-6,
-                (t5 - t4) * 1e-6);
+                "prep_fused S=%lld n_sub=%lld cand=%lld: lits+starts "
+                "%.3f ms, fused scal+rec+patch %.3f, tails %.3f\n",
+                (long long)S, (long long)n_sub, (long long)ncand,
+                (t1 - tp0) * 1e-6, (t2 - t1) * 1e-6, (t3 - t2) * 1e-6);
     } else if (n_threads <= 1 || n_sub < 4 * (int64_t)n_threads) {
-        ret = fz_scal_range(&c, 0, n_sub, wb_arr);
-        if (ret == 0) ret = fz_records_range(&c, 0, n_sub, &nrec);
-        if (ret == 0) ret = fz_patch_range(&c, 0, n_sub, &npat);
+        ret = fz_fused_serial(&c, wb_arr, &nrec, &npat, cand, &ncand);
         if (ret == 0) fz_zero_tails(&c, 0, n_sub);
     } else {
         const int64_t T = n_threads;
@@ -1597,8 +1926,6 @@ int32_t lz4tpu_prep_fused(
         out_counts[0] = nrec;
         out_counts[1] = npat;
     }
-    free(starts); free(litpos); free(wb_arr); free(counts);
-    free(rec_counts);
     return ret;
 }
 
