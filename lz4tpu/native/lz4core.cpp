@@ -1816,27 +1816,74 @@ int32_t lz4tpu_prep_fused(
     int32_t* starts = A->i32;
     int32_t* litpos = A->i32 + ns1;
     int64_t out = 0, lp = lit_base;
-    for (int64_t s = 0; s < S; ++s) {
-        starts[s] = (int32_t)out; litpos[s] = (int32_t)lp;
-        const int64_t n = ll[s];
-        if (n) {
-            uint8_t* d = lits + (lp - lit_base);
-            const uint8_t* q = buf + ls[s];
-            if (n <= 16 && ls[s] + 16 <= buf_len
-                && (lp - lit_base) + 16 <= lit_cap) {
-                // wild copy (cf. the reference's Write_Output wild
-                // copies, lz4ada.adb:807-817): every literal position
-                // is owned by exactly one run and runs write in
-                // order, so a later run overwrites our spill
-                memcpy(d, q, 16);
-            } else {
-                memcpy(d, q, (size_t)n);
-            }
+    int64_t s1 = 0;
+#if defined(__AVX2__)
+    {
+        // 8-wide exclusive prefix sums of (ll+ml) -> starts and
+        // ll -> litpos: in-vector log-shift adds plus a running carry
+        __m256i accs = _mm256_set1_epi32(0);
+        __m256i accl = _mm256_set1_epi32((int32_t)lit_base);
+        for (; s1 + 8 <= S; s1 += 8) {
+            __m256i a = _mm256_loadu_si256((const __m256i*)(ll + s1));
+            __m256i b = _mm256_loadu_si256((const __m256i*)(ml + s1));
+            __m256i t = _mm256_add_epi32(a, b);
+            // inclusive prefix within the 8 lanes
+            #define FZ_PFX(v)                                            \
+                v = _mm256_add_epi32(v, _mm256_slli_si256(v, 4));        \
+                v = _mm256_add_epi32(v, _mm256_slli_si256(v, 8));        \
+                v = _mm256_add_epi32(                                    \
+                    v, _mm256_permute2x128_si256(                        \
+                        _mm256_shuffle_epi32(v, 0xFF),                   \
+                        _mm256_setzero_si256(), 0x03))
+            FZ_PFX(t);
+            FZ_PFX(a);
+            #undef FZ_PFX
+            // exclusive = carry + inclusive shifted right one lane
+            const __m256i rot = _mm256_setr_epi32(7, 0, 1, 2, 3, 4, 5, 6);
+            __m256i te = _mm256_blend_epi32(
+                _mm256_permutevar8x32_epi32(t, rot),
+                _mm256_setzero_si256(), 1);
+            __m256i ae = _mm256_blend_epi32(
+                _mm256_permutevar8x32_epi32(a, rot),
+                _mm256_setzero_si256(), 1);
+            _mm256_storeu_si256((__m256i*)(starts + s1),
+                                _mm256_add_epi32(accs, te));
+            _mm256_storeu_si256((__m256i*)(litpos + s1),
+                                _mm256_add_epi32(accl, ae));
+            accs = _mm256_add_epi32(
+                accs, _mm256_permutevar8x32_epi32(
+                    t, _mm256_set1_epi32(7)));
+            accl = _mm256_add_epi32(
+                accl, _mm256_permutevar8x32_epi32(
+                    a, _mm256_set1_epi32(7)));
         }
-        out += n + ml[s];
-        lp += n;
+        out = (uint32_t)_mm256_extract_epi32(accs, 0);
+        lp = (uint32_t)_mm256_extract_epi32(accl, 0);
+    }
+#endif
+    for (int64_t s = s1; s < S; ++s) {
+        starts[s] = (int32_t)out; litpos[s] = (int32_t)lp;
+        out += ll[s] + ml[s];
+        lp += ll[s];
     }
     const int64_t n_out = out;
+    // literal extraction: branchless bounded 16-byte wild copies (cf.
+    // the reference's Write_Output wild copies, lz4ada.adb:807-817):
+    // every literal position is owned by exactly one run and runs
+    // write in order, so a later run overwrites our spill — zero-
+    // length runs included (their copy lands on the next run's bytes)
+    for (int64_t s = 0; s < S; ++s) {
+        const int64_t n = ll[s];
+        const int64_t rel = litpos[s] - lit_base;
+        uint8_t* d = lits + rel;
+        const uint8_t* q = buf + ls[s];
+        if (n <= 16 && ls[s] >= 0 && ls[s] + 16 <= buf_len
+            && rel + 16 <= lit_cap) {
+            memcpy(d, q, 16);
+        } else if (n) {
+            memcpy(d, q, (size_t)n);
+        }
+    }
     if (out >= INT64_C(0x7FFFFFF0) || lp >= INT64_C(0x7FFFFFF0))
         return -98;   // beyond int32 positions (pipeline never sends this)
     starts[S] = (int32_t)n_out; starts[S + 1] = INT32_C(0x7FFFFFFF);
