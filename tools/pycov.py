@@ -18,6 +18,9 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PKG = os.path.join(REPO, "lz4tpu")
+if REPO not in sys.path:
+    # `python tools/pycov.py` puts tools/ on sys.path, not the repo
+    sys.path.insert(0, REPO)
 
 hit: dict[str, set[int]] = {}
 TOOL = 3  # sys.monitoring tool id (coverage slot is 1; stay clear)
