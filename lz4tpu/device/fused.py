@@ -808,6 +808,11 @@ def _make_kernel(ablate: frozenset = frozenset()):
                 + jax.lax.broadcasted_iota(
                     jnp.int32, (NCHUNK, CHUNK), 1)) & 0xFFFF
         else:
+            # matmul-fused 2-D prefix (see _make_expand_kernel's
+            # docstring): B pairs [lane>=l_k] with all-ones and A adds
+            # the [row>r_k] hit block, so the scatter matmul emits
+            # PREFIXED digit planes directly — replaces cum2d's
+            # lane-shift log-prefix (measured 0.57 us/substep).
             r0 = jnp.concatenate(
                 [seqrec_ref[0, 0, r:r + 1, :] for r in range(8)], axis=1
             )                                    # (1, SEQ_MAX)
@@ -827,27 +832,34 @@ def _make_kernel(ablate: frozenset = frozenset()):
             ]
             r_s = pos12 >> 7
             l_s = pos12 & 127
-            hit = (jax.lax.broadcasted_iota(
-                jnp.int32, (NCHUNK, SEQ_MAX), 0) == r_s).astype(jnp.int32)
+            iota_r = jax.lax.broadcasted_iota(
+                jnp.int32, (NCHUNK, SEQ_MAX), 0)
+            hit_eq = (iota_r == r_s).astype(jnp.int32)
+            hit_lt = (iota_r > r_s).astype(jnp.int32)
             A = jnp.concatenate(
-                [(hit * jnp.where(live, p, 0)).astype(jnp.bfloat16)
+                [jnp.concatenate(
+                    [(hit_eq * jnp.where(live, p, 0)
+                      ).astype(jnp.bfloat16),
+                     (hit_lt * jnp.where(live, p, 0)
+                      ).astype(jnp.bfloat16)], axis=1)
                  for p in planes], axis=0
-            )                                    # (7*NCHUNK, SEQ_MAX)
-            B = (jax.lax.broadcasted_iota(
-                jnp.int32, (CHUNK, SEQ_MAX), 0) == l_s
-            ).astype(jnp.bfloat16)               # (CHUNK, SEQ_MAX)
+            )                                    # (7*NCHUNK, 2*SEQ_MAX)
+            lane_ge = (jax.lax.broadcasted_iota(
+                jnp.int32, (CHUNK, SEQ_MAX), 0) >= l_s
+            ).astype(jnp.bfloat16)
+            B = jnp.concatenate(
+                [lane_ge, jnp.ones((CHUNK, SEQ_MAX), jnp.bfloat16)],
+                axis=1)                          # (CHUNK, 2*SEQ_MAX)
             ps = jax.lax.dot_general(
                 A, B, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ).astype(jnp.int32)                  # (7*NCHUNK, CHUNK)
             n = NCHUNK
-            dUm = ps[0:n] + (ps[n:2 * n] << 8)
-            dVm = (ps[2 * n:3 * n] + (ps[3 * n:4 * n] << 8)
-                   + (ps[4 * n:5 * n] << 16))
-            dBm = ps[5 * n:6 * n] + (ps[6 * n:7 * n] << 8)
-            U = _cum2d(dUm) + scal_ref[i % 8, 3]
-            V = _cum2d(dVm) + scal_ref[i % 8, 4]
-            Bb = _cum2d(dBm) + scal_ref[i % 8, 5]
+            U = ps[0:n] + (ps[n:2 * n] << 8) + scal_ref[i % 8, 3]
+            V = (ps[2 * n:3 * n] + (ps[3 * n:4 * n] << 8)
+                 + (ps[4 * n:5 * n] << 16)) + scal_ref[i % 8, 4]
+            Bb = (ps[5 * n:6 * n] + (ps[6 * n:7 * n] << 8)
+                  + scal_ref[i % 8, 5])
             jrow = (jax.lax.broadcasted_iota(
                 jnp.int32, (NCHUNK, CHUNK), 0) * CHUNK
                 + jax.lax.broadcasted_iota(
@@ -966,6 +978,314 @@ def _make_kernel(ablate: frozenset = frozenset()):
             ring_out_ref[...] = kmat[0:RPAGES, :]
 
     return kern
+
+
+# ---------------------------------------------------------------------------
+# Split pipeline: parallel expansion kernel + serial routing kernel.
+#
+# The fused kernel serializes EVERYTHING behind the ring dependency,
+# but only routing needs the ring: a byte's SOURCE POSITION (pos17) is
+# a pure function of the sequence records — independent across
+# substeps.  Splitting lets Mosaic run expansion as a free-running
+# grid (DMA/compute overlapped, no carried scratch) and shrinks the
+# serial kernel to window-load + one-hot + routing matmul + select +
+# ring update.  Cost: one (NCHUNK, CHUNK) int32 grid (8 KiB/substep)
+# written to HBM by expansion and prefetched back by routing — ~20 ns
+# of HBM traffic per substep against ~1 us of serial work saved.
+# ---------------------------------------------------------------------------
+
+def _make_expand_kernel():
+    """Expansion-only kernel: records + patches -> pos17 grid.
+
+    The 2-D prefix sum is FUSED INTO the scatter matmul: instead of a
+    one-hot B (scatter deltas, then cum2d's lane-shift log-prefix —
+    measured 0.57 us/substep of Mosaic lane shifts), B's columns are
+    prefix comparisons.  Byte (r, j)'s field value is the sum of every
+    record's delta at a flat position <= r*128+j, i.e.
+
+        sum_k p(k) * [r_k < r]  +  sum_k p(k) * [r_k == r][l_k <= j]
+
+    so A carries both hit matrices ([row==r_k] and [row>r_k], K-dim
+    concatenated) and B pairs [lane>=l_k] with an all-ones block.  One
+    dot_general then yields the PREFIXED digit planes directly.
+    Exactness: per-plane entries are balanced digits |d|<=128 (bf16-
+    exact), and a plane's prefix sum is bounded by 576*128 < 2^24, so
+    the f32 accumulator is exact."""
+    import jax
+    import jax.numpy as jnp
+
+    def kern(seqrec_ref, scal_ref, patch_ref, pos_ref):
+        i = pl_program_id(0)
+        r0 = jnp.concatenate(
+            [seqrec_ref[0, 0, r:r + 1, :] for r in range(8)], axis=1
+        )
+        r1 = jnp.concatenate(
+            [seqrec_ref[0, 1, r:r + 1, :] for r in range(8)], axis=1
+        )
+        live = r0 != 0
+        pos12 = r0 & 0xFFF
+        planes = [
+            ((r0 >> 12) & 255) - 128,
+            ((r0 >> 20) & 255) - 128,
+            (r1 & 255) - 128,
+            ((r1 >> 8) & 255) - 128,
+            ((r0 >> 28) & 7) - 4,
+            ((r1 >> 16) & 255) - 128,
+            ((r1 >> 24) & 255) - 128,
+        ]
+        r_s = pos12 >> 7
+        l_s = pos12 & 127
+        iota_r = jax.lax.broadcasted_iota(
+            jnp.int32, (NCHUNK, SEQ_MAX), 0)
+        hit_eq = (iota_r == r_s).astype(jnp.int32)
+        hit_lt = (iota_r > r_s).astype(jnp.int32)
+        A = jnp.concatenate(
+            [jnp.concatenate(
+                [(hit_eq * jnp.where(live, p, 0)).astype(jnp.bfloat16),
+                 (hit_lt * jnp.where(live, p, 0)).astype(jnp.bfloat16)],
+                axis=1)
+             for p in planes], axis=0
+        )                                    # (7*NCHUNK, 2*SEQ_MAX)
+        lane_ge = (jax.lax.broadcasted_iota(
+            jnp.int32, (CHUNK, SEQ_MAX), 0) >= l_s).astype(jnp.bfloat16)
+        B = jnp.concatenate(
+            [lane_ge, jnp.ones((CHUNK, SEQ_MAX), jnp.bfloat16)], axis=1
+        )                                    # (CHUNK, 2*SEQ_MAX)
+        ps = jax.lax.dot_general(
+            A, B, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)                  # (7*NCHUNK, CHUNK) PREFIXED
+        n = NCHUNK
+        U = ps[0:n] + (ps[n:2 * n] << 8) + scal_ref[i % 8, 3]
+        V = (ps[2 * n:3 * n] + (ps[3 * n:4 * n] << 8)
+             + (ps[4 * n:5 * n] << 16)) + scal_ref[i % 8, 4]
+        Bb = (ps[5 * n:6 * n] + (ps[6 * n:7 * n] << 8)
+              + scal_ref[i % 8, 5])
+        jrow = (jax.lax.broadcasted_iota(
+            jnp.int32, (NCHUNK, CHUNK), 0) * CHUNK
+            + jax.lax.broadcasted_iota(
+                jnp.int32, (NCHUNK, CHUNK), 1))
+        pos17g = jnp.where(jrow < Bb, jrow + U + U_BIAS,
+                           (jrow + V) & 0xFFFF)
+        prec = jnp.concatenate(
+            [patch_ref[0, r:r + 1, :] for r in range(8)], axis=1
+        )
+        ppos = prec >> 18
+        code18 = prec & 0x3FFFF
+        pr = ppos >> 7
+        phit = (jax.lax.broadcasted_iota(
+            jnp.int32, (NCHUNK, PATCH_MAX), 0) == pr
+        ).astype(jnp.int32)
+        pplanes = [code18 & 255, (code18 >> 8) & 255, code18 >> 16]
+        pA = jnp.concatenate(
+            [(phit * p).astype(jnp.bfloat16) for p in pplanes], axis=0,
+        )
+        pB = (jax.lax.broadcasted_iota(
+            jnp.int32, (CHUNK, PATCH_MAX), 0) == (ppos & 127)
+        ).astype(jnp.bfloat16)
+        psum = jax.lax.dot_general(
+            pA, pB, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
+        pv = (psum[0:NCHUNK] + (psum[NCHUNK:2 * NCHUNK] << 8)
+              + (psum[2 * NCHUNK:] << 16))
+        pos_ref[...] = jnp.where(pv >= TAG, pv - TAG, pos17g)
+
+    return kern
+
+
+def _cum2d_host(x):
+    """Module-level copy of the kernel _cum2d (shared by both kernel
+    factories; Mosaic has no cumsum primitive — log-shift adds)."""
+    import jax.numpy as jnp
+
+    zeros = functools.partial(jnp.zeros, dtype=x.dtype)
+    c = x
+    k = 1
+    while k < CHUNK:
+        c = c + jnp.concatenate(
+            [zeros((NCHUNK, k)), c[:, :CHUNK - k]], axis=1)
+        k <<= 1
+    s = x
+    k = 1
+    while k < CHUNK:
+        s = s + jnp.concatenate(
+            [s[:, k:], zeros((NCHUNK, k))], axis=1)
+        k <<= 1
+    m = c + s - x
+    q = m
+    k = 1
+    while k < NCHUNK:
+        q = q + jnp.concatenate(
+            [zeros((k, CHUNK)), q[:NCHUNK - k]], axis=0)
+        k <<= 1
+    return c + q - m
+
+
+def pl_program_id(axis):
+    from jax.experimental import pallas as pl
+
+    return pl.program_id(axis)
+
+
+def _make_route_kernel():
+    """Routing-only kernel: pos17 grid + ring + literal windows ->
+    bytes (the serial stage; same math as the fused kernel's routing
+    phase, cf. lib/lz4ada.adb:845-904 for the ring semantics)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    def _rows(v, nrows):
+        w = v.shape[1] // nrows
+        return jnp.concatenate(
+            [v[:, r * w:(r + 1) * w] for r in range(nrows)], axis=0
+        )
+
+    def _pad_cols(v, width, fill):
+        pad = jnp.full((1, width - v.shape[1]), fill, v.dtype)
+        return jnp.concatenate([v, pad], axis=1)
+
+    def kern(wq_ref, pos_ref, lit_ref, scal_ref, ring_in_ref,
+             out_ref, ring_out_ref, kmat):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            kmat[0:RPAGES, :] = ring_in_ref[...]
+
+        wo = scal_ref[i % 8, 1]
+        win = lit_ref[0, pl.ds(pl.multiple_of(wo, 8), WPAGES), :]
+        kmat[RPAGES:KPAGES, :] = win.astype(jnp.int32).astype(jnp.bfloat16)
+
+        pos17 = jnp.concatenate(
+            [pos_ref[r:r + 1, :] for r in range(NCHUNK)], axis=1
+        )
+        page = pos17 >> 8
+        qc = pos17 & 255
+        slots_p = [
+            page[:, 0:COLS], page[:, COLS:2 * COLS],
+            _pad_cols(page[:, 2 * COLS:SUB], COLS, -1),
+        ]
+        slots_q = [
+            qc[:, 0:COLS], qc[:, COLS:2 * COLS],
+            _pad_cols(qc[:, 2 * COLS:SUB], COLS, 0),
+        ]
+        pa, pb, pc = slots_p
+        cb2 = jnp.logical_and(pb == pa, pb >= 0)
+        cc_a = jnp.logical_and(pc == pa, pc >= 0)
+        cc_b = jnp.logical_and(
+            jnp.logical_and(pc == pb, pc >= 0),
+            jnp.logical_not(cc_a))
+        pb_eff = jnp.where(cb2, -2, pb)
+        pc_eff = jnp.where(jnp.logical_or(cc_a, cc_b), -2, pc)
+        iota_p = jax.lax.broadcasted_iota(
+            jnp.int32, (KPAGES, COLS), 0)
+        ohp = (
+            jnp.where(iota_p == pa, 1, 0)
+            + jnp.where(iota_p == pb_eff, 256, 0)
+            + jnp.where(iota_p == pc_eff, 65536, 0)
+        ).astype(jnp.bfloat16)
+        yT = jax.lax.dot_general(
+            kmat[...], ohp, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        yi = yT.astype(jnp.int32)
+        iota_r = jax.lax.broadcasted_iota(
+            jnp.int32, (ROWB, COLS), 0)
+        sels = [
+            jnp.sum(jnp.where(iota_r == q, yi, 0), axis=0,
+                    keepdims=True)
+            for q in slots_q
+        ]
+        g0 = sels[0] & 255
+        g1 = jnp.where(cb2, sels[1] & 255, (sels[1] >> 8) & 255)
+        g2 = jnp.where(cc_a, sels[2] & 255,
+                       jnp.where(cc_b, (sels[2] >> 8) & 255,
+                                 sels[2] >> 16))
+        val = jnp.concatenate(
+            [g0, g1, g2[:, :SUB - 2 * COLS]], axis=1
+        ).astype(jnp.float32)
+
+        row = scal_ref[i % 8, 0]
+        kmat[pl.ds(pl.multiple_of(row, SUB // ROWB), SUB // ROWB), :] = (
+            _rows(val, SUB // ROWB).astype(jnp.bfloat16)
+        )
+        out_ref[...] = _rows(val, SUB // 128).astype(jnp.bfloat16)
+
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _():
+            ring_out_ref[...] = kmat[0:RPAGES, :]
+
+    return kern
+
+
+@functools.partial(
+    __import__("jax").jit,
+    static_argnames=("n_sub", "interpret"),
+)
+def _decode_split_device(seqrec, lits, winq, scal, patch,
+                         ring_init=None, *, n_sub, interpret=False):
+    """Two-kernel decode: parallel expansion, then serial routing."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if ring_init is None:
+        ring_init = jnp.zeros((RPAGES, ROWB), jnp.bfloat16)
+    if n_sub % 8:
+        pad = 8 - n_sub % 8
+        scal = jnp.concatenate([scal, jnp.zeros((pad, 8), jnp.int32)])
+
+    pos = pl.pallas_call(
+        _make_expand_kernel(),
+        grid=(n_sub,),
+        in_specs=[
+            pl.BlockSpec((1, 2, 8, SEQ_MAX // 8),
+                         lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((8, 8), lambda i: (i // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, PATCH_MAX // 8), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((NCHUNK, CHUNK), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_sub * NCHUNK, CHUNK),
+                                       jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(seqrec, scal, patch)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_sub,),
+        in_specs=[
+            pl.BlockSpec((NCHUNK, CHUNK), lambda i, wq: (i, 0)),
+            pl.BlockSpec((1, 32, 256), lambda i, wq: (wq[i], 0, 0)),
+            pl.BlockSpec((8, 8), lambda i, wq: (i // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((RPAGES, ROWB), lambda i, wq: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((SUB // 128, 128), lambda i, wq: (i, 0)),
+            pl.BlockSpec((RPAGES, ROWB), lambda i, wq: (0, 0)),
+        ),
+        scratch_shapes=[pltpu.VMEM((KPAGES, ROWB), jnp.bfloat16)],
+    )
+    rows, ring_out = pl.pallas_call(
+        _make_route_kernel(),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_sub * SUB // 128, 128), jnp.bfloat16),
+            jax.ShapeDtypeStruct((RPAGES, ROWB), jnp.bfloat16),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(winq, pos, lits, scal, ring_init)
+    return rows.astype(jnp.uint8), ring_out
 
 
 @functools.partial(

@@ -265,3 +265,22 @@ def test_fuzz_golden_vs_host(seed):
         return
     _check_spans(fused.golden_decode(prep), prep,
                  lz4tpu.decompress_host(data))
+
+@pytest.mark.parametrize("name", ["t389", "t100k"])
+def test_split_kernels_match_fused(name):
+    """The split decode (parallel expansion kernel -> serial routing
+    kernel) must be bit-identical to the fused kernel; measured equal
+    in speed on-chip (CLAUDE.md round-3 findings), kept as the
+    structural alternative."""
+    import jax
+    import jax.numpy as jnp
+
+    data, prep = _prep(name)
+    ref = decompress_host(data)
+    args = tuple(jnp.asarray(x) for x in (
+        prep.seqrec, prep.lits, prep.winq, prep.scal, prep.patch))
+    rows, _ring = fused._decode_split_device(
+        *args, n_sub=prep.n_sub, interpret=True)
+    flat = np.asarray(jax.device_get(rows)).reshape(-1)
+    n = prep.out_spans[0][3]
+    assert bytes(flat[:n]) == ref
