@@ -108,21 +108,221 @@ def match_candidates(data: np.ndarray, k_cands: int = 1) -> np.ndarray:
     return cand
 
 
-K_CANDS_DEFAULT = 8     # depth of the device-generated candidate chain
+K_CANDS_DEFAULT = 8     # depth of the legacy candidate chain
+
+
+@functools.partial(__import__("jax").jit, static_argnames=("n_pad",))
+def _candidates_compact_device(buf, *, n_pad: int):
+    """Compact candidate stream: TWO uint16 offset deltas per position
+    (4 B per payload byte — round-2 verdict next-#5; the depth-8 int32
+    chain shipped 32 B/byte and was transfer-bound everywhere).
+
+    delta[0]: distance to the nearest previous same-4-GRAM position
+      (guaranteed match >= 4 — the short-match candidate).
+    delta[1]: distance to the nearest previous same-8-GRAM position
+      (guaranteed match >= 8).  Because the 8-gram sort has zero
+      collisions, this reaches long matches at ANY depth of the 4-gram
+      chain — deeper than the old depth-8 chain for 8+-byte matches,
+      which is where the ratio lives.
+
+    0 = no candidate within the 64 KiB window.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    b = buf.astype(jnp.int32)
+    g4 = (
+        b
+        + jnp.roll(b, -1) * 256
+        + jnp.roll(b, -2) * 65536
+        + jnp.roll(b, -3) * 16777216
+    )
+    g8 = jnp.roll(g4, -4)
+    pos = jnp.arange(n_pad, dtype=jnp.int32)
+
+    g_s, p_s = jax.lax.sort((g4, pos), num_keys=2)
+    c4 = jnp.where(
+        jnp.logical_and(pos >= 1, jnp.roll(g_s, 1) == g_s),
+        jnp.roll(p_s, 1), -1,
+    )
+    _, c4r = jax.lax.sort((p_s, c4), num_keys=1)
+
+    gl, gh, p8 = jax.lax.sort((g4, g8, pos), num_keys=3)
+    same8 = jnp.logical_and(
+        pos >= 1,
+        jnp.logical_and(jnp.roll(gl, 1) == gl, jnp.roll(gh, 1) == gh),
+    )
+    c8 = jnp.where(same8, jnp.roll(p8, 1), -1)
+    _, c8r = jax.lax.sort((p8, c8), num_keys=1)
+
+    def delta(c):
+        d = pos - c
+        return jnp.where(
+            jnp.logical_and(c >= 0, d <= 65535), d, 0
+        ).astype(jnp.uint16)
+
+    return jnp.stack([delta(c4r), delta(c8r)])
+
+
+def compact_candidates(data: np.ndarray) -> np.ndarray:
+    """uint16[2, n] offset deltas per position (0 = none): nearest
+    same-4-gram and nearest same-8-gram predecessors — the 4 B/byte
+    candidate stream (see _candidates_compact_device)."""
+    import jax
+
+    n = int(data.size)
+    if n < 8:
+        return np.zeros((2, n), np.uint16)
+    n_pad = (n + 1023) // 1024 * 1024
+    buf = np.zeros(n_pad, np.uint8)
+    buf[:n] = data
+    d = np.array(
+        jax.device_get(
+            _candidates_compact_device(
+                jax.numpy.asarray(buf), n_pad=n_pad)
+        )[:, :n]
+    )
+    # wrapped grams at the end can fabricate matches into the padding
+    d[0, max(0, n - 3):] = 0
+    d[1, max(0, n - 7):] = 0
+    return d
+
+
+def deltas_to_positions(deltas: np.ndarray) -> np.ndarray:
+    """uint16 delta stream -> int32 candidate positions for the native
+    emitter (-1 = none).  Host-side, O(n) memory ops — the deltas are
+    what crosses the PCIe link."""
+    n = deltas.shape[1]
+    pos = np.arange(n, dtype=np.int32)
+    d = deltas.astype(np.int32)
+    return np.where(d > 0, pos[None, :] - d, -1).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Device token-emission prototype (round-2 verdict next-#6)
+# ---------------------------------------------------------------------------
+
+@functools.partial(__import__("jax").jit, static_argnames=("n_pad",))
+def _emit_inputs_device(buf, n_real, *, n_pad: int):
+    """Per-position match decisions, entirely on device: emit_len
+    uint16 (0 = literal byte) and offset uint16 — 4 B shipped per
+    payload byte.
+
+    Two data-parallel stages, no gathers anywhere:
+
+    1. "Gram ladder": sorts find, per position, the nearest previous
+       position sharing a 4/8/16/32-byte prefix (one multi-key sort +
+       restore per level; zero collisions, any chain depth).
+    2. Run combining: log-doubling over STATIC shifts — two adjacent
+       equal-length matches with the SAME offset merge (p matches c
+       over L bytes and p+L matches c+L over L bytes, same distance ->
+       p matches c over 2L bytes), growing 32 -> 65536.  This recovers
+       long-run ratio (zeros, periodic text) that pure quantization
+       loses.
+
+    The emitter then needs NO searching and NO byte comparisons: every
+    (length, offset) is guaranteed by construction, so the host's
+    remaining work is a linear walk splicing tokens."""
+    import jax
+    import jax.numpy as jnp
+
+    b = buf.astype(jnp.int32)
+    g = [
+        (
+            jnp.roll(b, -s)
+            + jnp.roll(b, -s - 1) * 256
+            + jnp.roll(b, -s - 2) * 65536
+            + jnp.roll(b, -s - 3) * 16777216
+        )
+        for s in range(0, 32, 4)
+    ]
+    pos = jnp.arange(n_pad, dtype=jnp.int32)
+
+    def nearest(nwords):
+        keys = tuple(g[:nwords]) + (pos,)
+        srt = jax.lax.sort(keys, num_keys=nwords + 1)
+        p_s = srt[-1]
+        same = pos >= 1
+        for kk in srt[:-1]:
+            same = jnp.logical_and(same, jnp.roll(kk, 1) == kk)
+        c = jnp.where(same, jnp.roll(p_s, 1), -1)
+        _, cr = jax.lax.sort((p_s, c), num_keys=1)
+        d = pos - cr
+        ok = jnp.logical_and(
+            jnp.logical_and(cr >= 0, d <= 65535),
+            pos + (4 * nwords) <= n_real,   # gram reads real bytes only
+        )
+        return jnp.where(ok, d, 0)
+
+    d4, d8, d16, d32 = (nearest(1), nearest(2), nearest(4), nearest(8))
+    L = jnp.where(
+        d32 > 0, 32, jnp.where(
+            d16 > 0, 16, jnp.where(d8 > 0, 8, jnp.where(d4 > 0, 4, 0))
+        )
+    )
+    d = jnp.where(
+        d32 > 0, d32, jnp.where(d16 > 0, d16, jnp.where(d8 > 0, d8, d4))
+    )
+    for j in range(11):                     # 32 -> 65536
+        step = 32 << j
+        can = jnp.logical_and(
+            jnp.logical_and(L == step, jnp.roll(L, -step) == step),
+            jnp.logical_and(d == jnp.roll(d, -step),
+                            pos + 2 * step <= n_real),
+        )
+        L = jnp.where(can, 2 * step, L)
+    L = jnp.minimum(L, 65535)
+    return L.astype(jnp.uint16), d.astype(jnp.uint16)
+
+
+def emit_inputs(data: np.ndarray):
+    """(emit_len uint16[n], offset uint16[n]) from the device ladder +
+    run combining (all end-of-buffer masking happens on device)."""
+    import jax
+
+    n = int(data.size)
+    if n < 16:
+        return np.zeros(n, np.uint16), np.zeros(n, np.uint16)
+    n_pad = (n + 1023) // 1024 * 1024
+    buf = np.zeros(n_pad, np.uint8)
+    buf[:n] = data
+    elen_d, eoff_d = _emit_inputs_device(
+        jax.numpy.asarray(buf), np.int32(n), n_pad=n_pad)
+    return (np.array(jax.device_get(elen_d)[:n]),
+            np.array(jax.device_get(eoff_d)[:n]))
+
+
+def compress_block_device_emit(src, hist: bytes = b"") -> bytes:
+    """LZ4 block via the device-emission prototype: all match SEARCH
+    on device (_emit_inputs_device); the host performs only the linear
+    token walk + byte splice (native lz4tpu_emit_quantized — no
+    searching, no byte comparisons, no length extension).  Round-trips
+    bit-exactly; ratio is quantized-length greedy (recorded)."""
+    from .. import native
+
+    src_b = bytes(src)
+    if not src_b:
+        return b""
+    hist_b = bytes(hist[-65536:]) if hist else b""
+    joined = np.frombuffer(hist_b + src_b, np.uint8)
+    elen, eoff = emit_inputs(joined)
+    return native.emit_quantized(joined, len(hist_b), len(src_b),
+                                 elen, eoff)
 
 
 def compress_block_device(
     src, hist: bytes = b"", lazy: bool = True,
-    k_cands: int = K_CANDS_DEFAULT,
+    k_cands: int | None = None,
 ) -> bytes:
     """LZ4 block compression with device-side match finding.
 
-    The TPU finds, for every position, the ``k_cands`` nearest previous
-    positions with the same 4 bytes (a depth-k hash chain via gram
-    sorting, no collisions); the native emitter verifies, extends and
-    emits the token stream, keeping the longest candidate per position
-    (with one-step lazy deferral like the host hash-chain encoder).
-    Round-trips bit-exactly.
+    Default (``k_cands=None``): the compact 2-candidate stream
+    (nearest-4-gram + nearest-8-gram, 4 B shipped per payload byte);
+    the native emitter verifies, extends and emits the token stream,
+    keeping the longest candidate (with one-step lazy deferral like
+    the host hash-chain encoder).  An explicit ``k_cands`` selects the
+    legacy depth-k chain (32 B/byte at k=8; kept for the depth-ratio
+    tests).  Round-trips bit-exactly either way.
     """
     from .. import native
 
@@ -131,7 +331,10 @@ def compress_block_device(
         return b""
     hist_b = bytes(hist[-65536:]) if hist else b""
     joined = np.frombuffer(hist_b + src_b, np.uint8)
-    cand = match_candidates(joined, k_cands)
+    if k_cands is None:
+        cand = deltas_to_positions(compact_candidates(joined))
+    else:
+        cand = match_candidates(joined, k_cands)
     return native.compress_block_cands(
         joined, len(hist_b), len(src_b), cand, lazy=lazy
     )

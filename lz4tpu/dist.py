@@ -368,6 +368,32 @@ def _launch_chain_groups(table, buf: np.ndarray, mesh: Mesh,
     return sparse_handles, dense_handles, fused_handles, resolve_chains
 
 
+def sharded_span_assignment(table, mesh: Mesh) -> dict:
+    """Deterministic chain->host map for the HBM-resident decode:
+    ``{process_index: [(out_lo, out_hi), ...]}`` whose spans partition
+    ``[0, n_out)`` exactly.  Pure function of (table, mesh) — every
+    host computes the identical assignment with no communication, so a
+    multi-host consumer knows which host holds which span without any
+    metadata exchange (the same property _multihost_ordered_merge
+    relies on)."""
+    from .pipeline import _chains_of
+
+    chains = _chains_of(table)
+    devices = _mesh_devices(mesh)
+    groups = _balance_chains(chains, len(devices))
+    by_proc: dict = {}
+    for dev, g in zip(devices, groups):
+        for i in g:
+            c = chains[i]
+            if c.out_hi > c.out_lo:
+                by_proc.setdefault(dev.process_index, []).append(
+                    (c.out_lo, c.out_hi)
+                )
+    for spans in by_proc.values():
+        spans.sort()
+    return by_proc
+
+
 def decode_sharded_chains_to_device(
     table, buf: np.ndarray, mesh: Mesh, interpret: bool = False
 ) -> list:
@@ -375,8 +401,15 @@ def decode_sharded_chains_to_device(
     decoded it: returns [(out_lo, device uint8 array of exactly chain
     length)] — the multi-chip counterpart of decompress_to_device.
     There is no host gather and no cross-device collective; consumers
-    feed per-device pipelines directly (single-process meshes — other
-    hosts' outputs are not addressable here).
+    feed per-device pipelines directly.
+
+    Multi-host (round-2 verdict next-#8): each host launches only its
+    addressable devices' chains and returns only THOSE spans — exactly
+    the spans ``sharded_span_assignment(table, mesh)`` lists for this
+    ``jax.process_index()``.  The per-host span lists partition
+    ``[0, n_out)`` across the pod, so a distributed consumer routes
+    reads by the (communication-free, deterministic) assignment; no
+    host ever fetches another host's bytes.
     """
     import jax.numpy as jnp
 
@@ -600,7 +633,7 @@ def compress_sharded(
     import struct
 
     from .api import _BLOCK_CODE_SIZE, _frame_descriptor
-    from .device.encode import _candidates_device
+    from .device.encode import _candidates_compact_device
     from .native import compress_block_cands
     from .xxh32 import xxh32
     from .constants import MAGIC_MODERN
@@ -629,16 +662,15 @@ def compress_sharded(
         spans.append((len(hist), len(chunk)))
 
     if n_blocks:
-        from .device.encode import K_CANDS_DEFAULT
-
         sharding = NamedSharding(mesh, P(AXIS, None))
-        # vmapped candidates come back (B, K, n): shard the block axis
+        # vmapped compact deltas come back (B, 2, n) uint16 — 4 B per
+        # payload byte across the link (round-2 verdict next-#5):
+        # shard the block axis
         out_sharding = NamedSharding(mesh, P(AXIS, None, None))
         batched = jax.jit(
             jax.vmap(
-                functools.partial(_candidates_device.__wrapped__,
-                                  n_pad=width_pad,
-                                  k_cands=K_CANDS_DEFAULT)
+                functools.partial(_candidates_compact_device.__wrapped__,
+                                  n_pad=width_pad)
             ),
             in_shardings=sharding,
             out_shardings=out_sharding,
@@ -668,8 +700,18 @@ def compress_sharded(
         # its backward match extension stops at position 0, so it can
         # never walk into the zero padding before the history (which
         # would emit back-references reaching before the frame start).
-        cand = np.array(cands[b, :, fv:HCAP + src_len])
-        cand = np.where(cand >= fv, cand - fv, -1).astype(np.int32)
+        # Deltas -> positions rebased to fv; a delta reaching before fv
+        # (into the zero padding) is dropped, and the last 3/7 real
+        # positions are masked exactly like compact_candidates does
+        # (their grams read past the real data), keeping the sharded
+        # frame bit-identical to the sequential device encoder.
+        L = HCAP + src_len - fv
+        d = np.array(cands[b, :, fv:HCAP + src_len], np.int32)
+        d[0, max(0, L - 3):] = 0
+        d[1, max(0, L - 7):] = 0
+        rel = np.arange(L, dtype=np.int32)
+        cand = np.where((d > 0) & (rel[None, :] - d >= 0),
+                        rel[None, :] - d, -1).astype(np.int32)
         comp = compress_block_cands(
             bufs[b, fv:], HCAP - fv, src_len, cand, lazy=True
         )

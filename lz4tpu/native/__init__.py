@@ -83,6 +83,12 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         u8p, c.c_int64, c.c_int64, i32p, c.c_int32, u8p, c.c_int64,
         c.c_int32,
     ]
+    lib.lz4tpu_emit_quantized.restype = c.c_int64
+    lib.lz4tpu_emit_quantized.argtypes = [
+        u8p, c.c_int64, c.c_int64,               # buf, hist_len, src_len
+        c.POINTER(c.c_uint16), c.POINTER(c.c_uint16),  # elen, eoff
+        u8p, c.c_int64,                           # dst, cap
+    ]
     lib.lz4tpu_pack_dense2.restype = c.c_int64
     lib.lz4tpu_pack_dense2.argtypes = [
         u8p, c.c_int64, i32p, i32p, i32p, i32p, c.c_int64, i32p, c.c_int64,
@@ -309,6 +315,27 @@ def compress_block_cands(
     )
     if n < 0:
         raise RuntimeError("compress_block_cands: destination overflow")
+    return dst[:n].tobytes()
+
+
+def emit_quantized(joined: np.ndarray, hist_len: int, src_len: int,
+                   elen: np.ndarray, eoff: np.ndarray) -> bytes:
+    """Mechanical token splice for the device-emission prototype: the
+    device decided every match (quantized length + offset, guaranteed
+    correct by the gram-ladder sorts); this walk only formats the
+    token stream.  No search, no byte compares."""
+    c = ctypes
+    cap = src_len + src_len // 128 + 64 + src_len // 8
+    dst = np.empty(cap, np.uint8)
+    assert elen.dtype == np.uint16 and eoff.dtype == np.uint16
+    n = _get().lz4tpu_emit_quantized(
+        _u8ptr(joined), c.c_int64(hist_len), c.c_int64(src_len),
+        elen.ctypes.data_as(c.POINTER(c.c_uint16)),
+        eoff.ctypes.data_as(c.POINTER(c.c_uint16)),
+        _u8ptr(dst), c.c_int64(cap),
+    )
+    if n < 0:
+        raise RuntimeError("emit_quantized: destination overflow")
     return dst[:n].tobytes()
 
 

@@ -1006,6 +1006,73 @@ int64_t lz4tpu_compress_block_opt(
 // s < sub_base, then an intra-substep inherit — an overlap-replicating
 // copy of already-final codes with period `off` (doubling windows like
 // the reference's replay, lib/lz4ada.adb:893-903).
+// Mechanical token emitter for the device-emission prototype: the
+// device has already decided, per position, a QUANTIZED match length
+// (0/4/8/16/32, guaranteed-correct by the gram-ladder sorts) and its
+// offset.  This function only walks the block linearly and splices the
+// token stream — no searching, no byte comparison, no extension (the
+// LZ4 grammar emitted: lib/lz4ada.adb:716-788 is the decode side).
+// Returns bytes written, or -1 on dst overflow.
+int64_t lz4tpu_emit_quantized(
+    const uint8_t* buf,       // [hist_len + src_len] joined buffer
+    int64_t hist_len, int64_t src_len,
+    const uint16_t* elen,     // [hist_len + src_len] 0 = literal
+    const uint16_t* eoff,     // [hist_len + src_len]
+    uint8_t* dst, int64_t cap) {
+    const int64_t end = hist_len + src_len;
+    int64_t p = hist_len, o = 0, lit_start = hist_len;
+    // standard LZ4 end rules: last 5 bytes are literals, and a match
+    // must not run into them
+    const int64_t match_end_cap = end - 5;
+    while (p < end) {
+        int64_t L = elen[p];
+        if (L >= 4 && p + L <= match_end_cap && eoff[p] > 0) {
+            const int64_t lit = p - lit_start;
+            const int64_t ml = L - 4;
+            // token + ext lit lens + literals + offset + ext match len
+            int64_t need = 1 + (lit >= 15 ? (lit - 15) / 255 + 1 : 0)
+                           + lit + 2 + (ml >= 15 ? (ml - 15) / 255 + 1 : 0);
+            if (o + need > cap) return -1;
+            int64_t lt = lit < 15 ? lit : 15;
+            int64_t mt = ml < 15 ? ml : 15;
+            dst[o++] = (uint8_t)((lt << 4) | mt);
+            if (lit >= 15) {
+                int64_t r = lit - 15;
+                while (r >= 255) { dst[o++] = 255; r -= 255; }
+                dst[o++] = (uint8_t)r;
+            }
+            memcpy(dst + o, buf + lit_start, (size_t)lit);
+            o += lit;
+            dst[o++] = (uint8_t)(eoff[p] & 255);
+            dst[o++] = (uint8_t)(eoff[p] >> 8);
+            if (ml >= 15) {
+                int64_t r = ml - 15;
+                while (r >= 255) { dst[o++] = 255; r -= 255; }
+                dst[o++] = (uint8_t)r;
+            }
+            p += L;
+            lit_start = p;
+        } else {
+            ++p;
+        }
+    }
+    // final literals-only sequence (match nibble 0 is legal at block
+    // end: lz4ada.adb:752-764)
+    const int64_t lit = p - lit_start;
+    int64_t need = 1 + (lit >= 15 ? (lit - 15) / 255 + 1 : 0) + lit;
+    if (o + need > cap) return -1;
+    dst[o++] = (uint8_t)((lit < 15 ? lit : 15) << 4);
+    if (lit >= 15) {
+        int64_t r = lit - 15;
+        while (r >= 255) { dst[o++] = 255; r -= 255; }
+        dst[o++] = (uint8_t)r;
+    }
+    memcpy(dst + o, buf + lit_start, (size_t)lit);
+    o += lit;
+    return o;
+}
+
+
 static int64_t pack_dense2_range(
     const uint8_t* buf, int64_t buf_len,
     const int32_t* ll, const int32_t* ls,

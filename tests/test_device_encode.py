@@ -160,3 +160,111 @@ class TestShardedEncode:
         seq = lz4tpu.compress(payload, backend="device", block_max_code=4,
                               content_checksum=True)
         assert frame == seq
+
+
+class TestCompactCandidates:
+    def test_shipped_bytes_per_payload_byte(self):
+        """The compact stream ships <= 4 B of candidates per payload
+        byte (round-2 verdict next-#5; the depth-8 chain shipped 32)."""
+        rng = np.random.default_rng(21)
+        payload = (b"compact candidate stream payload " * 3000
+                   + rng.integers(0, 256, 30000, dtype=np.uint8).tobytes())
+        data = np.frombuffer(payload, np.uint8)
+        d = de.compact_candidates(data)
+        assert d.dtype == np.uint16 and d.shape == (2, data.size)
+        assert d.nbytes <= 4 * data.size
+
+    def test_compact_positions_are_valid_predecessors(self):
+        """Every compact candidate must be a true same-4-gram
+        predecessor within the window (8-gram row implies 4-gram)."""
+        rng = np.random.default_rng(22)
+        data = rng.integers(0, 4, 6000, dtype=np.uint8)
+        cand = de.deltas_to_positions(de.compact_candidates(data))
+        n = data.size
+        for row in range(2):
+            need = 4 if row == 0 else 8
+            for p in range(0, n - need, 97):
+                c = cand[row, p]
+                if c < 0:
+                    continue
+                assert 0 < p - c <= 65535
+                assert bytes(data[c:c + need]) == bytes(data[p:p + need])
+
+    def test_compact_ratio_close_to_depth8(self):
+        """4 B/byte compact stream compresses within 2% of the 32 B/byte
+        depth-8 chain on text (the 8-gram row reaches long matches at
+        any chain depth, which is where the ratio lives)."""
+        text = open("/root/repo/README.md", "rb").read() * 6
+        compact = de.compress_block_device(text)
+        deep = de.compress_block_device(text, k_cands=8)
+        assert len(compact) <= len(deep) * 1.02
+        from lz4tpu.block import decode_block
+        got = decode_block(np.frombuffer(compact, np.uint8), len(text))
+        assert bytes(got) == text
+
+
+class TestDeviceEmission:
+    """Device token-emission prototype (round-2 verdict next-#6): all
+    match SEARCH on device (gram ladder + log-doubling run combining);
+    the host does only the linear token splice (no search, no byte
+    compares, no extension — native lz4tpu_emit_quantized)."""
+
+    def payloads(self):
+        rng = np.random.default_rng(31)
+        yield b"the quick brown fox jumps over the lazy dog. " * 1400
+        yield bytes(65536)                       # long run
+        yield rng.integers(0, 256, 65536, dtype=np.uint8).tobytes()
+        yield (b"abcdef" * 5000 + bytes(8000)
+               + rng.integers(0, 256, 9000, dtype=np.uint8).tobytes())
+        yield b"x" * 7                            # tiny
+        yield b""                                 # empty
+
+    def test_round_trips_bit_exact(self):
+        from lz4tpu.block import decode_block
+
+        for payload in self.payloads():
+            comp = de.compress_block_device_emit(payload)
+            if not payload:
+                assert comp == b""
+                continue
+            got = decode_block(np.frombuffer(comp, np.uint8),
+                               len(payload))
+            assert bytes(got) == payload
+
+    def test_emit_inputs_are_true_matches(self):
+        """Every device decision (length, offset) must be a REAL match
+        — the host emitter never verifies, so this is the contract."""
+        rng = np.random.default_rng(33)
+        data = np.frombuffer(
+            b"".join([b"periodic!" * 300, bytes(500),
+                      rng.integers(0, 8, 4000, dtype=np.uint8).tobytes()]),
+            np.uint8)
+        elen, eoff = de.emit_inputs(np.array(data))
+        n = data.size
+        for p in range(n):
+            L, d = int(elen[p]), int(eoff[p])
+            if L == 0:
+                continue
+            assert d > 0 and p - d >= 0 and p + L <= n
+            assert bytes(data[p - d:p - d + L]) == bytes(data[p:p + L])
+
+    def test_ratio_vs_search_encoder(self):
+        """Quantized+combined lengths stay within 20% of the search
+        encoder on text and runs (measured ~1.01-1.16x)."""
+        for payload in (b"lorem ipsum dolor sit amet " * 2000,
+                        bytes(50000) + b"tail " * 400):
+            emit = de.compress_block_device_emit(payload)
+            search = de.compress_block_device(payload)
+            assert len(emit) <= len(search) * 1.20
+
+    def test_history_matches(self):
+        from lz4tpu.block import decode_block_ring_py
+
+        hist = b"shared dictionary content " * 100
+        payload = b"shared dictionary content " * 50 + b"new tail"
+        comp = de.compress_block_device_emit(payload, hist=hist)
+        buf = np.zeros(len(hist) + len(payload) + 8, np.uint8)
+        buf[:len(hist)] = np.frombuffer(hist, np.uint8)
+        end = decode_block_ring_py(
+            np.frombuffer(comp, np.uint8), buf, len(hist), 0)
+        assert bytes(buf[len(hist):end]) == payload

@@ -77,6 +77,38 @@ assert decompress_host(frame) == payload
 from lz4tpu import compress as _c
 assert frame == _c(payload, backend="device", block_max_code=4,
                    content_checksum=True)
+
+# (d) HBM-resident multi-host decode (round-2 verdict next #8): each
+# host collects ONLY its own device-resident spans; the deterministic
+# assignment partitions [0, n_out) across hosts with zero metadata
+# exchange, and local spans are bit-exact against the reference.
+from lz4tpu.constants import FOR_ALL
+from lz4tpu.frame import parse_frames
+from lz4tpu.pipeline import build_seq_table
+from lz4tpu.dist import (decode_sharded_chains_to_device,
+                         sharded_span_assignment)
+buf = np.frombuffer(frames, np.uint8)
+parsed = parse_frames(buf, FOR_ALL)
+table = build_seq_table(buf, parsed, FOR_ALL, frames)
+assign = sharded_span_assignment(table, mesh)
+covered = sorted(sp for spans in assign.values() for sp in spans)
+pos = 0
+for lo, hi in covered:
+    assert lo == pos, f"assignment gap at {pos}: next span {lo}"
+    pos = hi
+assert pos == table.n_out
+segs = decode_sharded_chains_to_device(table, buf, mesh,
+                                       interpret=True)
+got_spans = sorted((lo, lo + a.shape[0]) for lo, a in segs)
+assert got_spans == assign.get(jax.process_index(), []), (
+    f"host {pid} spans {got_spans} != assignment"
+)
+for lo, arr in segs:
+    local_bytes = np.asarray(jax.device_get(arr)).tobytes()
+    assert local_bytes == ref[lo:lo + arr.shape[0]]
+    # spans stay on this host's addressable devices
+    assert all(d.process_index == jax.process_index()
+               for d in arr.devices())
 print(f"WORKER{pid}_OK", flush=True)
 """
 
