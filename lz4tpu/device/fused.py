@@ -64,6 +64,14 @@ rows 256..271 the per-substep literal window (refreshed each substep;
 window start slack <= 2047 B + consumed literals <= 2048 B < 16 pages,
 a hard bound).  Chains exceeding PATCH_MAX in-substep bytes per substep
 raise FusedOverflow and fall back to the host-pack engine.
+
+ADAPTIVE RING: preps whose maximum match offset fits a narrower window
+(max_off + SUB <= rpages*256 for rpages in {32, 64, 128}) dispatch a
+narrow-ring kernel variant paying (rpages+16)/272 of the routing FLOPs
+(fused_rpages / _make_kernel(rpages=...)).  Correct because rpages*256
+divides 64 Ki, so positions mod rpages*256 stay unique within the
+reachable window; shipped records are variant-independent — only
+kernel-side masks and the literal-window bias change.
 """
 
 from __future__ import annotations
@@ -117,6 +125,7 @@ class FusedPrep:
     n_patches: int
     n_seq_recs: int
     out_spans: list        # [(chain_id, sub_lo, sub_hi, out_len)]
+    max_off: int = 65535   # max match offset in the prep (adaptive ring)
 
 
 class FusedOverflow(Exception):
@@ -403,11 +412,15 @@ def _prep_fused_native(lit_len, match_len, match_off, lit_src, buf,
         raise FusedOverflow(str(exc)) from None
     n_recs = sum(r[0] for r in results)
     n_patches = sum(r[1] for r in results)
+    max_off = 1
+    for (cid, lo, hi, _nl, _no, n_sub_c, _lb, _s0) in metas:
+        if n_sub_c and hi > lo:
+            max_off = max(max_off, int(match_off[lo:hi].max()))
     return FusedPrep(
         seqrec=seqrec, lits=_build_windows(lits_flat[:lit_acc], n_win),
         winq=winq, scal=scal, patch=patch,
         n_sub=n_sub_total, n_patches=n_patches, n_seq_recs=n_recs,
-        out_spans=out_spans,
+        out_spans=out_spans, max_off=max_off,
     )
 
 
@@ -597,10 +610,14 @@ def _prep_fused_numpy(
         (g,) = _group_scatter(sub_i, [rec], nst, PATCH_MAX, "patches")
         patch = g.reshape(nst, 8, PATCH_MAX // 8).astype(np.int32)
 
+    max_off = 1
+    for cid, (lo, hi) in enumerate(chain_ranges):
+        if hi > lo and chain_meta[cid]["n_sub"]:
+            max_off = max(max_off, int(match_off[lo:hi].max()))
     return FusedPrep(
         seqrec=seqrec, lits=wins, winq=winq, scal=scal, patch=patch,
         n_sub=n_sub_total, n_patches=n_patches, n_seq_recs=n_seq_recs,
-        out_spans=out_spans,
+        out_spans=out_spans, max_off=max_off,
     )
 
 
@@ -668,14 +685,27 @@ def golden_decode(prep: FusedPrep) -> np.ndarray:
 # Pallas kernel
 # ---------------------------------------------------------------------------
 
-def _make_kernel(ablate: frozenset = frozenset()):
+def _make_kernel(ablate: frozenset = frozenset(), rpages: int = RPAGES):
     """ablate is an internal perf-ablation knob (exp/ harnesses only):
     'expand' short-circuits the record scatter+fill, 'patch' the patch
     matmul, 'route' the routing matmul+select.  Production callers
-    never pass it; ablated kernels produce wrong bytes by design."""
+    never pass it; ablated kernels produce wrong bytes by design.
+
+    ``rpages`` selects the ADAPTIVE RING (round-2 verdict next-#2):
+    when every match offset in the prep satisfies
+    max_off + SUB <= rpages*256, a narrow ring of rpages pages is a
+    faithful window (offsets mod rpages*256 stay unique because
+    rpages*256 divides 64 Ki) and the routing matmul pays
+    (rpages+WPAGES)/272 of the full-ring FLOPs.  The shipped records
+    are variant-independent; only kernel-side masks and the literal-
+    window bias change."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
+
+    kpages = rpages + WPAGES
+    rmask = rpages * 256 - 1
+    u_bias = rpages * 256 - SUB
 
     def _rows(v, nrows):
         """(1, N) -> (nrows, N/nrows) via lane slices + sublane concat
@@ -723,13 +753,13 @@ def _make_kernel(ablate: frozenset = frozenset()):
 
         @pl.when(i == 0)
         def _():
-            kmat[0:RPAGES, :] = ring_in_ref[...]
+            kmat[0:rpages, :] = ring_in_ref[...]
 
         wo = scal_ref[i % 8, 1]
-        # literal window pages -> routing rows 256..279 (u8 -> i32 ->
+        # literal window pages -> the rows above the ring (u8 -> i32 ->
         # bf16: Mosaic has no direct u8->bf16 cast)
         win = lit_ref[0, pl.ds(pl.multiple_of(wo, 8), WPAGES), :]
-        kmat[RPAGES:KPAGES, :] = win.astype(jnp.int32).astype(jnp.bfloat16)
+        kmat[rpages:kpages, :] = win.astype(jnp.int32).astype(jnp.bfloat16)
 
         if unified:
             # ---- ONE scatter matmul for seq records AND patches ----
@@ -806,7 +836,7 @@ def _make_kernel(ablate: frozenset = frozenset()):
             pos17g = (jax.lax.broadcasted_iota(
                 jnp.int32, (NCHUNK, CHUNK), 0) * CHUNK
                 + jax.lax.broadcasted_iota(
-                    jnp.int32, (NCHUNK, CHUNK), 1)) & 0xFFFF
+                    jnp.int32, (NCHUNK, CHUNK), 1)) & rmask
         else:
             # matmul-fused 2-D prefix (see _make_expand_kernel's
             # docstring): B pairs [lane>=l_k] with all-ones and A adds
@@ -864,8 +894,8 @@ def _make_kernel(ablate: frozenset = frozenset()):
                 jnp.int32, (NCHUNK, CHUNK), 0) * CHUNK
                 + jax.lax.broadcasted_iota(
                     jnp.int32, (NCHUNK, CHUNK), 1))
-            pos17g = jnp.where(jrow < Bb, jrow + U + U_BIAS,
-                               (jrow + V) & 0xFFFF)
+            pos17g = jnp.where(jrow < Bb, jrow + U + u_bias,
+                               (jrow + V) & rmask)
 
         # ---- patch scatter: stacked-plane bf16 outer product ----
         if "patch" not in ablate and not unified:
@@ -895,7 +925,14 @@ def _make_kernel(ablate: frozenset = frozenset()):
             if "patchnop" in ablate:   # timing probe: matmul runs, the
                 pos17g = pos17g + (pv & 0)   # join is a no-op add
             else:
-                pos17g = jnp.where(pv >= TAG, pv - TAG, pos17g)
+                # patch codes are full-ring (mod 64 Ki) ring positions or
+                # 65536+lit_rel window positions; remap into the
+                # variant's page space (identity when rpages == 256)
+                code = pv - TAG
+                code = jnp.where(code >= 65536,
+                                 code - 65536 + rpages * 256,
+                                 code & rmask)
+                pos17g = jnp.where(pv >= TAG, code, pos17g)
 
         # (NCHUNK, CHUNK) row-major -> (1, SUB) lane-major.  The
         # round trip through VMEM is deliberate: slices of a live
@@ -930,7 +967,7 @@ def _make_kernel(ablate: frozenset = frozenset()):
             pb_eff = jnp.where(cb2, -2, pb)
             pc_eff = jnp.where(jnp.logical_or(cc_a, cc_b), -2, pc)
             iota_p = jax.lax.broadcasted_iota(
-                jnp.int32, (KPAGES, COLS), 0)
+                jnp.int32, (kpages, COLS), 0)
             # int-composed one-hot with a single bf16 convert: 8.5%
             # whole-kernel win over three bf16 converts + scaled adds
             # (interleaved A/B).  Exact: pb_eff/pc_eff demote page
@@ -965,7 +1002,9 @@ def _make_kernel(ablate: frozenset = frozenset()):
                 [g0, g1, g2[:, :SUB - 2 * COLS]], axis=1
             ).astype(jnp.float32)                # (1, SUB)
 
-        row = scal_ref[i % 8, 0]
+        # host scal row is (i*8) mod 256; narrow rings wrap at rpages
+        # (a power-of-two divisor of 256, so masking recovers it)
+        row = scal_ref[i % 8, 0] & (rpages - 1)
         kmat[pl.ds(pl.multiple_of(row, SUB // ROWB), SUB // ROWB), :] = (
             _rows(val, SUB // ROWB).astype(jnp.bfloat16)
         )
@@ -975,7 +1014,7 @@ def _make_kernel(ablate: frozenset = frozenset()):
         def _():
             # the carry consumer only needs the FINAL ring; writing it
             # every substep costs 128 KiB/substep of HBM writes
-            ring_out_ref[...] = kmat[0:RPAGES, :]
+            ring_out_ref[...] = kmat[0:rpages, :]
 
     return kern
 
@@ -1290,18 +1329,22 @@ def _decode_split_device(seqrec, lits, winq, scal, patch,
 
 @functools.partial(
     __import__("jax").jit,
-    static_argnames=("n_sub", "interpret", "ablate"),
+    static_argnames=("n_sub", "interpret", "ablate", "rpages"),
 )
 def _decode_fused_device(seqrec, lits, winq, scal, patch,
                          ring_init=None, *,
-                         n_sub, interpret=False, ablate=frozenset()):
+                         n_sub, interpret=False, ablate=frozenset(),
+                         rpages=RPAGES):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    assert rpages == RPAGES or not ablate, (
+        "ablation knobs are full-ring only"
+    )
     if ring_init is None:
-        ring_init = jnp.zeros((RPAGES, ROWB), jnp.bfloat16)
+        ring_init = jnp.zeros((rpages, ROWB), jnp.bfloat16)
     if n_sub % 8:
         pad = 8 - n_sub % 8
         scal = jnp.concatenate([scal, jnp.zeros((pad, 8), jnp.int32)])
@@ -1317,21 +1360,21 @@ def _decode_fused_device(seqrec, lits, winq, scal, patch,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 8, PATCH_MAX // 8),
                          lambda i, wq: (i, 0, 0)),
-            pl.BlockSpec((RPAGES, ROWB), lambda i, wq: (0, 0)),
+            pl.BlockSpec((rpages, ROWB), lambda i, wq: (0, 0)),
         ],
         out_specs=(
             pl.BlockSpec((SUB // 128, 128), lambda i, wq: (i, 0)),
-            pl.BlockSpec((RPAGES, ROWB), lambda i, wq: (0, 0)),
+            pl.BlockSpec((rpages, ROWB), lambda i, wq: (0, 0)),
         ),
-        scratch_shapes=[pltpu.VMEM((KPAGES, ROWB), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((rpages + WPAGES, ROWB), jnp.bfloat16),
                         pltpu.VMEM((NCHUNK, CHUNK), jnp.int32)],
     )
     rows, ring_out = pl.pallas_call(
-        _make_kernel(ablate),
+        _make_kernel(ablate, rpages),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((n_sub * SUB // 128, 128), jnp.bfloat16),
-            jax.ShapeDtypeStruct((RPAGES, ROWB), jnp.bfloat16),
+            jax.ShapeDtypeStruct((rpages, ROWB), jnp.bfloat16),
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
@@ -1342,6 +1385,17 @@ def _decode_fused_device(seqrec, lits, winq, scal, patch,
 
 
 PART_SUBS = 8192       # substeps per launch (32 MiB output)
+
+
+def fused_rpages(max_off: int) -> int:
+    """Smallest power-of-two ring (pages) whose window provably covers
+    every match offset of the prep: offsets reach back at most
+    max_off + (SUB - 1) bytes from a substep's last byte, and the ring
+    excludes the current substep — so rpages*256 >= max_off + SUB."""
+    for r in (32, 64, 128):
+        if max_off + SUB <= r * 256:
+            return r
+    return RPAGES
 
 
 def decode_fused_rows_on_device(prep: FusedPrep, interpret: bool = False,
@@ -1359,6 +1413,7 @@ def decode_fused_rows_on_device(prep: FusedPrep, interpret: bool = False,
 
     if prep.n_sub == 0:
         return jnp.zeros(0, jnp.uint8)
+    rp = fused_rpages(prep.max_off)
     part = part_subs or PART_SUBS
     if prep.n_sub <= part:
         rows, _ring = _decode_fused_device(
@@ -1366,6 +1421,7 @@ def decode_fused_rows_on_device(prep: FusedPrep, interpret: bool = False,
             jnp.asarray(prep.winq), jnp.asarray(prep.scal),
             jnp.asarray(prep.patch),
             ring_init, n_sub=prep.n_sub, interpret=interpret,
+            rpages=rp,
         )
         return rows.reshape(-1)
     lits_dev = jnp.asarray(prep.lits)
@@ -1379,6 +1435,7 @@ def decode_fused_rows_on_device(prep: FusedPrep, interpret: bool = False,
             jnp.asarray(prep.scal[p0:p1]),
             jnp.asarray(prep.patch[p0:p1]),
             ring, n_sub=p1 - p0, interpret=interpret,
+            rpages=rp,
         )
         parts.append(rows.reshape(-1))
     return jnp.concatenate(parts)

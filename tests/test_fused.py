@@ -284,3 +284,69 @@ def test_split_kernels_match_fused(name):
     flat = np.asarray(jax.device_get(rows)).reshape(-1)
     n = prep.out_spans[0][3]
     assert bytes(flat[:n]) == ref
+
+
+def test_adaptive_narrow_ring():
+    """Adaptive ring (round-2 verdict next-#2): a chain whose match
+    offsets fit a narrow window decodes through the rpages=32 variant
+    (48/272 of the routing FLOPs) bit-identically to the full ring and
+    the host engine.  The variant only changes kernel-side masks and
+    the literal-window bias; shipped records are identical."""
+    import jax
+    import jax.numpy as jnp
+    import lz4tpu
+
+    rng = np.random.default_rng(3)
+    period = rng.integers(32, 127, 5000, dtype=np.uint8).tobytes()
+    blob = period * 60            # offsets ~5000 -> rpages 32
+    data = lz4tpu.compress(blob)
+    buf = np.frombuffer(data, np.uint8)
+    parsed = parse_frames(buf, FOR_ALL)
+    t = build_seq_table(buf, parsed, FOR_ALL, data)
+    prep = fused.prep_fused(
+        t.lit_len, t.match_len, t.match_off, t.lit_src, buf)
+    assert fused.fused_rpages(prep.max_off) == 32
+    flat = np.asarray(jax.device_get(
+        fused.decode_fused_rows_on_device(prep, interpret=True)))
+    n = prep.out_spans[0][3]
+    assert bytes(flat[:n]) == blob
+    rows_full, _ = fused._decode_fused_device(
+        jnp.asarray(prep.seqrec), jnp.asarray(prep.lits),
+        jnp.asarray(prep.winq), jnp.asarray(prep.scal),
+        jnp.asarray(prep.patch),
+        n_sub=prep.n_sub, interpret=True, rpages=fused.RPAGES)
+    full = np.asarray(jax.device_get(rows_full)).reshape(-1)
+    # real bytes identical; tail-substep padding garbage may differ
+    assert (flat[:n] == full[:n]).all()
+
+
+def test_adaptive_ring_with_patches_and_carry():
+    """Narrow variant with in-substep patches AND part-wise ring carry:
+    offsets ~2.5-6 KiB (rpages 32) plus a few short-offset matches
+    (patches), split across part launches."""
+    import jax
+    import lz4tpu
+
+    rng = np.random.default_rng(9)
+    period = rng.integers(32, 127, 3000, dtype=np.uint8).tobytes()
+    parts = []
+    for i in range(50):
+        parts.append(period)
+        parts.append(b"xyz" * 21)    # offset-3 island -> in-substep
+    blob = b"".join(parts)           # patches, bounded per substep
+    data = lz4tpu.compress(blob)
+    buf = np.frombuffer(data, np.uint8)
+    parsed = parse_frames(buf, FOR_ALL)
+    t = build_seq_table(buf, parsed, FOR_ALL, data)
+    prep = fused.prep_fused(
+        t.lit_len, t.match_len, t.match_off, t.lit_src, buf)
+    assert fused.fused_rpages(prep.max_off) < fused.RPAGES
+    assert prep.n_patches > 0
+    n = prep.out_spans[0][3]
+    one = np.asarray(jax.device_get(
+        fused.decode_fused_rows_on_device(prep, interpret=True)))
+    parts = np.asarray(jax.device_get(
+        fused.decode_fused_rows_on_device(prep, interpret=True,
+                                          part_subs=16)))
+    assert bytes(one[:n]) == blob
+    assert (one[:n] == parts[:n]).all()
