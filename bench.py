@@ -45,6 +45,7 @@ aggregate over it.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import pathlib
@@ -93,15 +94,18 @@ def bench_sustained(datas, sync_probe):
             parsed = parse_frames(buf, FOR_ALL)
             table = build_seq_table(buf, parsed, FOR_ALL, data)
             plan_decode(buf, parsed, table)
-    rounds = max(4, SUSTAINED_ROUNDS // 4)
-    t0 = time.time()
+    rounds = max(5, SUSTAINED_ROUNDS // 4)
+    per_round = []
     for _ in range(rounds):
+        t0 = time.time()
         for data in datas:
             buf = np.frombuffer(data, np.uint8)
             parsed = parse_frames(buf, FOR_ALL)
             table = build_seq_table(buf, parsed, FOR_ALL, data)
             plan_decode(buf, parsed, table)
-    host_dt = (time.time() - t0) / rounds
+        per_round.append(time.time() - t0)
+    # median round: the single core is shared, spikes are the VM's
+    host_dt = sorted(per_round)[len(per_round) // 2]
     host_gbps = total / host_dt / 1e9
     print(
         f"sustained host-stage bound (parse+scan+plan+prep, 1 core): "
@@ -161,11 +165,16 @@ def main() -> int:
         n_out = table.n_out
 
         # ---- timed host stage: plan + fused/sparse prep -------------
+        # median of 7: this box's single core is SHARED (noisy
+        # neighbors swing wall time 2-3x run to run); the median is
+        # the honest per-request cost, the spikes are the VM's
         plan = plan_decode(buf, parsed, table)
-        t0 = time.time()
-        for _ in range(3):
+        samples = []
+        for _ in range(7):
+            t0 = time.time()
             plan = plan_decode(buf, parsed, table)
-        t_prep = (time.time() - t0) / 3
+            samples.append(time.time() - t0)
+        t_prep = sorted(samples)[3]
         assert not plan.other, f"{name}: chain fell off the fast paths"
         assert not plan.dense_chains, f"{name}: fused overflow -> mxu2"
 
@@ -181,6 +190,8 @@ def main() -> int:
             shipped += sum(a.nbytes for a in arrs)
             fargs = tuple(jnp.asarray(a) for a in arrs)
 
+        rp = fu.fused_rpages(fp.max_off) if fp is not None else fu.RPAGES
+
         @jax.jit
         def decode_corpus(comp, *fa):
             """One full decode of the vector to HBM-resident output."""
@@ -193,23 +204,47 @@ def main() -> int:
                 seqrec, lits, winq, scal, patch = fa
                 rows, _ring = fu._decode_fused_device(
                     seqrec, lits, winq, scal, patch, n_sub=fp.n_sub,
+                    rpages=rp,
                 )
             return outs, rows
 
-        def run_n(reps):
-            """reps independent decode dispatches; the device queue
-            serializes them, so (t(4N) - t(N)) / 3N is the marginal
-            per-decode device time with dispatch latency cancelled."""
-            last = None
-            for _ in range(reps):
-                last = decode_corpus(comp_dev, *(fargs or ()))
-            outs, rows = last
-            probe = jnp.zeros((), jnp.int32)
-            for o in outs:
-                probe = probe + o[0].astype(jnp.int32)
-            if rows is not None:
-                probe = probe + rows[0, 0].astype(jnp.int32)
+        @functools.partial(jax.jit, static_argnames=("reps",))
+        def decode_chain(comp, *fa, reps):
+            """reps decodes chained INSIDE one jit by data dependencies
+            (ring carry + an opaque zero mixed into the inputs), so one
+            timed call is one dispatch: the slope measures pure device
+            time even when the dev tunnel's dispatch latency spikes
+            (observed: a ms-scale per-dispatch floor that swamped
+            per-decode times measured as queued separate dispatches)."""
+            ring0 = jnp.zeros((rp, fu.ROWB), jnp.bfloat16)
+            probe0 = jnp.zeros((), jnp.int32)
+
+            def body(_k, carry):
+                probe, ring = carry
+                # opaque zero: bytes are >= 0 at runtime, unprovable
+                z = jnp.minimum(probe, 0).astype(jnp.uint8)
+                c = comp + z
+                for _c, prog in sparse_progs:
+                    o = sp._compile_program(prog.ops, prog.n_out)(c)
+                    probe = probe + jnp.minimum(
+                        o[0].astype(jnp.int32), 0)
+                if fa:
+                    seqrec, lits, winq, scal, patch = fa
+                    rows, ring = fu._decode_fused_device(
+                        seqrec, lits, winq, scal, patch,
+                        ring + jnp.minimum(probe, 0).astype(jnp.bfloat16),
+                        n_sub=fp.n_sub, rpages=rp,
+                    )
+                    probe = probe + jnp.minimum(
+                        rows[0, 0].astype(jnp.int32), 0)
+                return probe, ring
+
+            probe, _ring = jax.lax.fori_loop(
+                0, reps, body, (probe0, ring0))
             return probe
+
+        def run_n(reps):
+            return decode_chain(comp_dev, *(fargs or ()), reps=reps)
 
         # correctness gate (outside timing)
         outs, rows = decode_corpus(comp_dev, *(fargs or ()))
