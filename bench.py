@@ -221,22 +221,26 @@ def main() -> int:
 
             def body(_k, carry):
                 probe, ring = carry
-                # opaque zero: bytes are >= 0 at runtime, unprovable
+                # the barrier makes the carry opaque: without it XLA's
+                # range analysis proves min(probe, 0) == 0 (probe
+                # accumulates uint8 casts), folds the data dependency,
+                # and dead-codes the whole body — observed as z9m
+                # "decoding" at 1.1 TB/s
+                probe, ring = jax.lax.optimization_barrier(
+                    (probe, ring))
                 z = jnp.minimum(probe, 0).astype(jnp.uint8)
-                c = comp + z
+                c = comp + z           # runtime-identical to comp
                 for _c, prog in sparse_progs:
                     o = sp._compile_program(prog.ops, prog.n_out)(c)
-                    probe = probe + jnp.minimum(
-                        o[0].astype(jnp.int32), 0)
+                    # accumulate REAL bytes so the decode stays live
+                    probe = probe + o[0].astype(jnp.int32)
                 if fa:
                     seqrec, lits, winq, scal, patch = fa
                     rows, ring = fu._decode_fused_device(
-                        seqrec, lits, winq, scal, patch,
-                        ring + jnp.minimum(probe, 0).astype(jnp.bfloat16),
+                        seqrec, lits, winq, scal, patch, ring,
                         n_sub=fp.n_sub, rpages=rp,
                     )
-                    probe = probe + jnp.minimum(
-                        rows[0, 0].astype(jnp.int32), 0)
+                    probe = probe + rows[0, 0].astype(jnp.int32)
                 return probe, ring
 
             probe, _ring = jax.lax.fori_loop(
