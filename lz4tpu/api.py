@@ -225,6 +225,8 @@ def compress(
 
     if backend == "device":
         from .device.encode import compress_block_device
+    elif backend == "device-emit":
+        from .device.encode import compress_block_device_emit
 
     # Search effort per level (lz4-CLI-like): 1-3 shallow chains and no
     # lazy deferral (speed), 4-9 the full lazy hash chain, >=10 the
@@ -265,6 +267,10 @@ def compress(
             # TPU match finding (sorted grams), host emission — see
             # lz4tpu/device/encode.py
             comp = compress_block_device(chunk, hist=hist)
+        elif backend == "device-emit":
+            # every match DECIDED on device (gram ladder + run
+            # combining); host only splices tokens mechanically
+            comp = compress_block_device_emit(chunk, hist=hist)
         else:
             comp = compress_block(
                 chunk, hist=hist, max_chain=eff_chain,

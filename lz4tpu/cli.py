@@ -312,8 +312,9 @@ def _bench_encode(args) -> int:
 
             mesh = make_mesh()
             fn = lambda: compress_sharded(data, mesh)  # noqa: E731
-        elif args.backend in ("device", "auto"):
-            fn = lambda: compress(data, backend="device")  # noqa: E731
+        elif args.backend in ("device", "device-emit", "auto"):
+            be = "device-emit" if args.backend == "device-emit" else "device"
+            fn = lambda: compress(data, backend=be)  # noqa: E731
         else:
             fn = lambda: compress(data, backend="host")  # noqa: E731
         frame = fn()   # warm caches / jit
@@ -363,8 +364,8 @@ def main(argv=None) -> int:
     pb = sub.add_parser("lz4-bench")
     pb.add_argument("files", nargs="+")
     pb.add_argument("--backend", default="host",
-                    choices=["host", "device", "auto", "sharded",
-                             "pipeline"])
+                    choices=["host", "device", "device-emit", "auto",
+                             "sharded", "pipeline"])
     pb.add_argument("--encode", action="store_true",
                     help="measure compression instead of decompression"
                          " (files are raw payloads; encoder per"

@@ -268,3 +268,16 @@ class TestDeviceEmission:
         end = decode_block_ring_py(
             np.frombuffer(comp, np.uint8), buf, len(hist), 0)
         assert bytes(buf[len(hist):end]) == payload
+
+    def test_frame_backend_device_emit(self):
+        """Public frame path: compress(backend="device-emit") writes
+        standard frames (linked blocks, history across blocks) that
+        round-trip through the host engine."""
+        import lz4tpu
+
+        rng = np.random.default_rng(71)
+        payload = (b"emit backend end to end " * 5000
+                   + rng.integers(0, 256, 20000, dtype=np.uint8).tobytes())
+        frame = lz4tpu.compress(payload, backend="device-emit",
+                                block_max_code=4, block_checksum=True)
+        assert lz4tpu.decompress(frame) == payload
