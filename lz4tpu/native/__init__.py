@@ -195,8 +195,11 @@ def decode_block_ring(
     return int(st), int(new_pos.value), int(err_a.value)
 
 
+_scan_arena = threading.local()
+
+
 def scan_sequences(
-    src, lit_base: int = 0, out_base: int = 0
+    src, lit_base: int = 0, out_base: int = 0, pooled: bool = False
 ) -> tuple[int, np.ndarray, np.ndarray, np.ndarray, np.ndarray,
            np.ndarray, int, int]:
     """Token-scan a raw block into a structure-of-arrays sequence table.
@@ -207,16 +210,30 @@ def scan_sequences(
     whole stream); `out_base` offsets out_start (the block's global
     output position); `min_reach` is the lowest global output position
     any back-reference touches (2**63-1 when the block has no matches).
+
+    ``pooled=True`` returns views into per-thread grow-only scratch
+    (warm pages — fresh multi-MB np.empty costs ~1 ms of first-touch
+    faults per request): the views are INVALIDATED by this thread's
+    next pooled scan, so the caller must copy before then
+    (build_seq_table's column concatenation is that copy).
     """
     arr = _as_u8(src)
     # Worst case: one sequence per input byte (token-only degenerate) —
     # in valid streams a sequence is >= 2 bytes except the last; +8 slack.
     cap = arr.size + 8
-    out_start = np.empty(cap, dtype=np.int32)
-    lit_len = np.empty(cap, dtype=np.int32)
-    lit_src = np.empty(cap, dtype=np.int32)
-    match_len = np.empty(cap, dtype=np.int32)
-    match_off = np.empty(cap, dtype=np.int32)
+    if pooled:
+        bufs = getattr(_scan_arena, "bufs", None)
+        if bufs is None or bufs[0].size < cap:
+            cap_r = max(1 << 16, 1 << (cap - 1).bit_length())
+            bufs = tuple(np.empty(cap_r, np.int32) for _ in range(5))
+            _scan_arena.bufs = bufs
+        out_start, lit_len, lit_src, match_len, match_off = bufs
+    else:
+        out_start = np.empty(cap, dtype=np.int32)
+        lit_len = np.empty(cap, dtype=np.int32)
+        lit_src = np.empty(cap, dtype=np.int32)
+        match_len = np.empty(cap, dtype=np.int32)
+        match_off = np.empty(cap, dtype=np.int32)
     total = ctypes.c_int64(0)
     reach = ctypes.c_int64(0)
     i32p = ctypes.POINTER(ctypes.c_int32)
@@ -225,7 +242,7 @@ def scan_sequences(
         out_start.ctypes.data_as(i32p),
         lit_len.ctypes.data_as(i32p), lit_src.ctypes.data_as(i32p),
         match_len.ctypes.data_as(i32p), match_off.ctypes.data_as(i32p),
-        cap, ctypes.byref(total), ctypes.byref(reach),
+        out_start.size, ctypes.byref(total), ctypes.byref(reach),
     )
     if n < 0:
         z = lit_len[:0]

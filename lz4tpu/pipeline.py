@@ -164,9 +164,15 @@ def build_seq_table(
             continue
         break
 
+    # pooled scan output is only safe when no second scan can clobber
+    # the views before the column concatenation below consumes them —
+    # i.e. exactly one compressed block (the big single-chain case)
+    use_pool = len(comp_blocks) == 1
+
     def _scan(blk):
         return native.scan_sequences(
-            buf[blk.comp_off:blk.comp_off + blk.comp_len], blk.comp_off, 0
+            buf[blk.comp_off:blk.comp_off + blk.comp_len], blk.comp_off,
+            0, pooled=use_pool,
         )
 
     threads = native.pack_threads()
@@ -265,12 +271,13 @@ def build_seq_table(
         cols = [np.concatenate([c[i] for c in chunks]) for i in range(5)]
     else:
         cols = [np.zeros(0, np.int32) for _ in range(5)]
+    np.maximum(cols[4], 1, out=cols[4])
     return SeqTable(
         out_start=cols[0],
         lit_len=cols[1],
         lit_src=cols[2],
         match_len=cols[3],
-        match_off=np.maximum(cols[4], 1),
+        match_off=cols[4],
         n_out=n_out,
         frame_out_start=np.array(frame_bounds, np.int64),
         spans=spans,
