@@ -268,6 +268,7 @@ def prep_fused(
     lit_src: np.ndarray,
     buf: np.ndarray,
     chain_ranges: list | None = None,
+    pre: tuple | None = None,
 ) -> FusedPrep:
     """Build fused-kernel inputs from sequence-table ranges.
 
@@ -278,10 +279,20 @@ def prep_fused(
     Uses the native engine when available (lz4core.cpp
     lz4tpu_prep_fused, differential-tested against the numpy path;
     patch slot order within a substep may differ — the kernel scatter
-    is order-independent)."""
+    is order-independent).
+
+    ``pre`` — ``(starts_ext, litpos_ext, lits_flat, max_off)`` from
+    native.scan_block_full (single-chain tables only, see
+    pipeline.SeqTable.pre): skips the prep's phase 1 entirely."""
     from .. import native
 
     if native.available():
+        if (pre is not None
+                and (chain_ranges is None
+                     or chain_ranges == [(0, lit_len.size)])):
+            return _prep_fused_native_pre(
+                lit_len, match_len, match_off, lit_src, buf, pre
+            )
         return _prep_fused_native(
             lit_len, match_len, match_off, lit_src, buf, chain_ranges
         )
@@ -349,6 +360,50 @@ def _pool_arrays(nst: int, lit_cap: int):
     lits_b, winq_b, scal_b, seqrec_b, patch_b = bufs
     return (lits_b[:lit_cap], winq_b[:nst], scal_b[:nst],
             seqrec_b[:nst], patch_b[:nst])
+
+
+def _prep_fused_native_pre(lit_len, match_len, match_off, lit_src,
+                           buf, pre) -> FusedPrep:
+    """Single-chain prep from scan_block_full outputs: phase 1
+    (prefix sums + literal extraction) already happened at scan time;
+    goes straight to the fused scal+records+patches pass
+    (lz4core.cpp lz4tpu_prep_fused_pre)."""
+    from .. import native
+
+    starts_ext, litpos_ext, lits_flat, max_off = pre
+    S = lit_len.size
+    n_out = int(starts_ext[S]) if S else 0
+    n_lit = int(litpos_ext[S]) if S else 0
+    n_sub = -(-n_out // SUB) if n_out else 0
+    n_win = max(1, -(-max(1, n_lit) // LITWIN_Q))
+    nst = max(n_sub, 1)
+    _, winq, scal, seqrec, patch = _pool_arrays(nst, 1)
+    out_spans = [(0, 0, n_sub, n_out)]
+    if n_sub == 0:
+        return FusedPrep(
+            seqrec=seqrec, lits=_build_windows(lits_flat[:0], n_win),
+            winq=winq, scal=scal, patch=patch,
+            n_sub=0, n_patches=0, n_seq_recs=0,
+            out_spans=out_spans, max_off=max(1, int(max_off)),
+        )
+    buf8 = np.ascontiguousarray(buf, np.uint8)
+    try:
+        n_recs, n_patches = native.prep_fused_chain_pre(
+            np.ascontiguousarray(lit_len, np.int32),
+            np.ascontiguousarray(match_len, np.int32),
+            np.ascontiguousarray(match_off, np.int32),
+            np.ascontiguousarray(lit_src, np.int32),
+            buf8, n_win, starts_ext, litpos_ext, lits_flat, n_out,
+            winq[:n_sub], scal[:n_sub], seqrec[:n_sub], patch[:n_sub],
+        )
+    except ValueError as exc:
+        raise FusedOverflow(str(exc)) from None
+    return FusedPrep(
+        seqrec=seqrec, lits=_build_windows(lits_flat[:n_lit], n_win),
+        winq=winq, scal=scal, patch=patch,
+        n_sub=n_sub, n_patches=n_patches, n_seq_recs=n_recs,
+        out_spans=out_spans, max_off=max(1, int(max_off)),
+    )
 
 
 def _prep_fused_native(lit_len, match_len, match_off, lit_src, buf,

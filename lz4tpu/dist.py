@@ -580,7 +580,8 @@ def decompress_sharded(data, mesh: Mesh | None = None, reservation=None) -> byte
         return b""
     parsed = parse_frames(buf, reservation)
     try:
-        table = build_seq_table(buf, parsed, reservation, data)
+        table = build_seq_table(buf, parsed, reservation, data,
+                               pooled_cols=True)
     except BatchCapacityExceeded:
         # stream decodes past int32 coordinates: host engine takes over
         from .api import decompress_host

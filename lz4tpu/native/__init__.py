@@ -108,6 +108,25 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         i64p,                                     # seqrec, patch, counts
         c.c_int32,                                # n_threads
     ]
+    lib.lz4tpu_scan_block_full.restype = c.c_int64
+    lib.lz4tpu_scan_block_full.argtypes = [
+        u8p, c.c_int64, c.c_int64,                # src, src_len, lit_base
+        i32p, i32p, i32p, i32p, i32p, i32p,       # cols (+litpos)
+        u8p, c.c_int64,                           # lits, lits_cap
+        c.c_int64, i64p, i64p, i64p, i64p,        # cap, total, reach,
+                                                  # n_lit, max_off
+    ]
+    lib.lz4tpu_prep_fused_pre.restype = c.c_int32
+    lib.lz4tpu_prep_fused_pre.argtypes = [
+        i32p, i32p, i32p, i32p, c.c_int64,       # ll, ml, mo, ls, S
+        u8p,                                      # buf
+        c.c_int64,                                # n_win
+        i32p, i32p,                               # starts, litpos (S+2)
+        u8p, c.c_int64,                           # lits, n_out
+        i32p, i32p, i32p, i32p,                   # winq, scal, seqrec, patch
+        i64p,                                     # counts
+        c.c_int32,                                # n_threads
+    ]
     return lib
 
 
@@ -400,6 +419,85 @@ _PREP_OVERFLOW = {
     -15: "literal affine constant range",
     -16: "match spans cross >64 substeps",
 }
+
+
+_scan_full_arena = threading.local()
+
+
+def scan_block_full(src, comp_off: int = 0):
+    """Single-block full scan: the token scan plus, in the same native
+    pass, the cumulative literal-position column, the flat extracted
+    literal stream, and the S/S+1 sentinel slots the fused prep's
+    bisects need (lz4core.cpp lz4tpu_scan_block_full).
+
+    Returns ``(status, starts_ext, ll, ls, ml, mo, litpos_ext, lits,
+    total, min_reach, max_off)`` where ``starts_ext``/``litpos_ext``
+    are ``(n+2)``-long (sentinels included), the other columns
+    ``n``-long, and ``lits`` holds the first ``litpos_ext[n]`` literal
+    bytes.
+
+    All arrays are views into per-thread grow-only scratch, INVALIDATED
+    by this thread's next scan_block_full call — the request pipeline
+    consumes a table fully before scanning the next request."""
+    arr = _as_u8(src)
+    cap = arr.size + 8
+    a = getattr(_scan_full_arena, "bufs", None)
+    if a is None or a[0].size < cap + 2 or a[6].size < arr.size + 16:
+        cap_r = max(1 << 16, 1 << (cap + 2 - 1).bit_length())
+        lit_r = max(1 << 16, 1 << (arr.size + 16 - 1).bit_length())
+        a = tuple(np.empty(cap_r, np.int32) for _ in range(6)) + (
+            np.empty(lit_r, np.uint8),)
+        _scan_full_arena.bufs = a
+    starts, ll, ls, ml, mo, litpos, lits = a
+    total = ctypes.c_int64(0)
+    reach = ctypes.c_int64(0)
+    n_lit = ctypes.c_int64(0)
+    moff = ctypes.c_int64(0)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    n = _get().lz4tpu_scan_block_full(
+        _u8ptr(arr), arr.size, comp_off,
+        starts.ctypes.data_as(i32p), ll.ctypes.data_as(i32p),
+        ls.ctypes.data_as(i32p), ml.ctypes.data_as(i32p),
+        mo.ctypes.data_as(i32p), litpos.ctypes.data_as(i32p),
+        _u8ptr(lits), lits.size,
+        starts.size - 2, ctypes.byref(total), ctypes.byref(reach),
+        ctypes.byref(n_lit), ctypes.byref(moff),
+    )
+    if n < 0:
+        z = ll[:0]
+        return int(n), z, z, z, z, z, z, lits[:0], 0, 0, 1
+    return (OK, starts[:n + 2], ll[:n], ls[:n], ml[:n], mo[:n],
+            litpos[:n + 2], lits[:int(n_lit.value)],
+            int(total.value), int(reach.value), int(moff.value))
+
+
+def prep_fused_chain_pre(ll, ml, mo, ls, buf, n_win, starts, litpos,
+                         lits, n_out, winq, scal, seqrec, patch,
+                         n_threads=None):
+    """Native fused prep from scan_block_full outputs (phase 1 —
+    prefix sums + literal extraction — already done at scan time)."""
+    c = ctypes
+    i32p = c.POINTER(c.c_int32)
+
+    def ip(a):
+        assert a.dtype == np.int32 and a.flags.c_contiguous
+        return a.ctypes.data_as(i32p)
+
+    counts = np.zeros(2, np.int64)
+    buf8 = _as_u8(buf)
+    st = _get().lz4tpu_prep_fused_pre(
+        ip(ll), ip(ml), ip(mo), ip(ls), c.c_int64(ll.size),
+        _u8ptr(buf8), c.c_int64(n_win),
+        ip(starts), ip(litpos),
+        _u8ptr(lits), c.c_int64(n_out),
+        ip(winq), ip(scal), ip(seqrec), ip(patch),
+        counts.ctypes.data_as(c.POINTER(c.c_int64)),
+        c.c_int32(n_threads if n_threads is not None
+                  else pack_threads()),
+    )
+    if st != 0:
+        raise ValueError(_PREP_OVERFLOW.get(st, f"prep status {st}"))
+    return int(counts[0]), int(counts[1])
 
 
 def prep_fused_chain(ll, ml, mo, ls, buf, lit_base, n_win,

@@ -432,6 +432,87 @@ int64_t lz4tpu_scan_sequences(
     return s;
 }
 
+// Single-block "full" scan: lz4tpu_scan_sequences plus, in the same
+// pass, the cumulative literal position column (litpos), the flat
+// literal-stream extraction (the compressed bytes are cache-hot at
+// parse time — cf. the prep's Write_Output-style wild copies), and
+// the S/S+1 sentinel slots on starts/litpos that the fused prep's
+// bisects need.  Error detection order is byte-identical to
+// lz4tpu_scan_sequences (same checks, same sequence positions), so
+// the single-block fast path reports the same malformed-input status
+// as the generic path.  Feeds lz4tpu_prep_fused_pre, which skips its
+// phase-1 (prefix sums + literal extraction) entirely.
+int64_t lz4tpu_scan_block_full(
+    const uint8_t* src, int64_t src_len, int64_t lit_base,
+    int32_t* out_start,   // [cap + 2] (sentinels at [s], [s+1])
+    int32_t* lit_len, int32_t* lit_src,
+    int32_t* match_len, int32_t* match_off,
+    int32_t* litpos,      // [cap + 2] (sentinels at [s], [s+1])
+    uint8_t* lits, int64_t lits_cap,
+    int64_t cap, int64_t* total_out, int64_t* min_reach,
+    int64_t* n_lit_out, int64_t* max_off_out) {
+    int64_t ip = 0;
+    int64_t s = 0;
+    int64_t out = 0;
+    int64_t lp = 0;
+    int64_t max_off = 1;
+    int64_t reach = INT64_C(0x7FFFFFFFFFFFFFFF);
+    while (ip < src_len) {
+        if (s >= cap) return -LZ4TPU_E_SEQ_OVERFLOW;
+        const uint8_t token = src[ip++];
+        int64_t lit = var_length(src, src_len, &ip, token >> 4);
+        if (lit < 0) return -LZ4TPU_E_TRUNCATED;
+        if (ip + lit > src_len)
+            return (token & 0x0F) ? -LZ4TPU_E_MATCH_AFTER_LIT
+                                  : -LZ4TPU_E_TRUNCATED;
+        out_start[s] = (int32_t)out;
+        lit_len[s] = (int32_t)lit;
+        lit_src[s] = (int32_t)(ip + lit_base);
+        litpos[s] = (int32_t)lp;
+        if (lit <= 16 && ip + 16 <= src_len && lp + 16 <= lits_cap) {
+            memcpy(lits + lp, src + ip, 16);   // wild copy; next run
+                                               // overwrites the spill
+        } else if (lit) {
+            if (lp + lit > lits_cap) return -LZ4TPU_E_SEQ_OVERFLOW;
+            memcpy(lits + lp, src + ip, (size_t)lit);
+        }
+        lp += lit;
+        ip += lit;
+        out += lit;
+        if (ip >= src_len) {
+            if ((token & 0x0F) != 0) return -LZ4TPU_E_MATCH_AFTER_LIT;
+            match_len[s] = 0;
+            match_off[s] = 1;
+            ++s;
+            break;
+        }
+        if (ip + 2 > src_len) return -LZ4TPU_E_TRUNCATED;
+        const int64_t offset = (int64_t)src[ip] | ((int64_t)src[ip + 1] << 8);
+        ip += 2;
+        if (offset == 0) return -LZ4TPU_E_OFFSET_ZERO;
+        int64_t mlen = var_length(src, src_len, &ip, token & 0x0F);
+        if (mlen < 0) return -LZ4TPU_E_TRUNCATED;
+        mlen += 4;
+        if (out - offset < reach) reach = out - offset;
+        if (offset > max_off) max_off = offset;
+        match_len[s] = (int32_t)mlen;
+        match_off[s] = (int32_t)offset;
+        out += mlen;
+        ++s;
+    }
+    if (out >= INT64_C(0x7FFFFFF0) || lp >= INT64_C(0x7FFFFFF0))
+        return -LZ4TPU_E_SEQ_OVERFLOW;
+    out_start[s] = (int32_t)out;
+    out_start[s + 1] = INT32_C(0x7FFFFFFF);
+    litpos[s] = (int32_t)lp;
+    litpos[s + 1] = (int32_t)lp;
+    *total_out = out;
+    *min_reach = reach;
+    *n_lit_out = lp;
+    *max_off_out = max_off;
+    return s;
+}
+
 // ---------------------------------------------------------------------------
 // Encoder: greedy hash-chain match finder producing standard LZ4 blocks
 // ---------------------------------------------------------------------------
@@ -1857,6 +1938,127 @@ static int32_t fz_fused_serial(const fz_ctx* c, int32_t* wb_out,
 // n_threads > 1 splits phases 2-4 by substep ranges (bit-identical to
 // the serial pass: ranges align to substep boundaries and every
 // substep has exactly one writer).
+// Post-phase-1 body shared by lz4tpu_prep_fused (which computes
+// starts/litpos/lits itself) and lz4tpu_prep_fused_pre (which takes
+// them precomputed from lz4tpu_scan_block_full).  `scratch_off` is
+// the fz_arena i32 offset already consumed by the caller.
+static int32_t fz_prep_body(
+    const int32_t* ll, const int32_t* ml, const int32_t* mo,
+    const int32_t* ls, int64_t S,
+    const uint8_t* buf,
+    int64_t lit_base, int64_t n_win,
+    const int32_t* starts, const int32_t* litpos,
+    uint8_t* lits, int64_t n_out,
+    int32_t* winq, int32_t* scal, int32_t* seqrec, int32_t* patch,
+    int64_t* out_counts, int32_t n_threads,
+    int64_t scratch_off, int prof, int64_t tp0) {
+    fz_arena* A = fz_arena_get();
+    const int64_t n_sub = (n_out + FZ_SUB - 1) / FZ_SUB;
+    const int64_t nsub1 = n_sub ? n_sub : 1;
+    if (fz_arena_reserve(A, 0, scratch_off + 4 * nsub1 + S + 1))
+        return -99;
+    int32_t* wb_arr = A->i32 + scratch_off;
+    int32_t* counts = A->i32 + scratch_off + nsub1;
+    int32_t* rec_counts = A->i32 + scratch_off + 2 * nsub1;
+    int32_t* so_arr = A->i32 + scratch_off + 3 * nsub1;
+    int32_t* cand = A->i32 + scratch_off + 4 * nsub1;
+    memset(counts, 0, (size_t)nsub1 * 4);
+    memset(rec_counts, 0, (size_t)nsub1 * 4);
+    fz_ctx c = { ll, ml, mo, ls, S, buf, lit_base, n_win, lits, winq,
+                 scal, seqrec, patch, counts, rec_counts, starts,
+                 litpos, wb_arr, so_arr, n_sub, n_out };
+    int32_t ret = 0;
+    int64_t nrec = 0, npat = 0, ncand = 0;
+    if (prof) {
+        int64_t t1 = fz_now_ns();
+        ret = fz_fused_serial(&c, wb_arr, &nrec, &npat, cand, &ncand);
+        int64_t t2 = fz_now_ns();
+        if (ret == 0) fz_zero_tails(&c, 0, n_sub);
+        int64_t t3 = fz_now_ns();
+        fprintf(stderr,
+                "prep_fused S=%lld n_sub=%lld cand=%lld: lits+starts "
+                "%.3f ms, fused scal+rec+patch %.3f, tails %.3f\n",
+                (long long)S, (long long)n_sub, (long long)ncand,
+                (t1 - tp0) * 1e-6, (t2 - t1) * 1e-6, (t3 - t2) * 1e-6);
+    } else if (n_threads <= 1 || n_sub < 4 * (int64_t)n_threads) {
+        ret = fz_fused_serial(&c, wb_arr, &nrec, &npat, cand, &ncand);
+        if (ret == 0) fz_zero_tails(&c, 0, n_sub);
+    } else {
+        const int64_t T = n_threads;
+        const int64_t per = (n_sub + T - 1) / T;
+        std::vector<int32_t> st2(T, 0), st3(T, 0), st4(T, 0);
+        std::vector<int64_t> nr(T, 0), np2(T, 0);
+        {
+            std::vector<std::thread> ths;
+            for (int64_t t = 0; t < T; ++t) {
+                int64_t a = t * per, b = a + per;
+                if (b > n_sub) b = n_sub;
+                if (a >= b) continue;
+                ths.emplace_back([&, t, a, b] {
+                    st2[t] = fz_scal_range(&c, a, b, wb_arr);
+                });
+            }
+            for (auto& th : ths) th.join();
+        }
+        // first failing range wins so threaded runs report the same
+        // overflow reason as the serial pass (lowest substep range)
+        for (int64_t t = 0; t < T; ++t)
+            if (st2[t] && ret == 0) ret = st2[t];
+        if (ret == 0) {
+            std::vector<std::thread> ths;
+            for (int64_t t = 0; t < T; ++t) {
+                int64_t a = t * per, b = a + per;
+                if (b > n_sub) b = n_sub;
+                if (a >= b) continue;
+                ths.emplace_back([&, t, a, b] {
+                    st3[t] = fz_records_range(&c, a, b, &nr[t]);
+                    if (st3[t] == 0)
+                        st4[t] = fz_patch_range(&c, a, b, &np2[t]);
+                    if (st3[t] == 0 && st4[t] == 0)
+                        fz_zero_tails(&c, a, b);
+                });
+            }
+            for (auto& th : ths) th.join();
+            // match the serial pass's reason: all records errors
+            // (phase 3) precede any patch error (phase 4), lowest
+            // substep range first within a phase
+            for (int64_t t = 0; t < T; ++t)
+                if (st3[t] && ret == 0) ret = st3[t];
+            for (int64_t t = 0; t < T; ++t)
+                if (st4[t] && ret == 0) ret = st4[t];
+            for (int64_t t = 0; t < T; ++t) {
+                nrec += nr[t];
+                npat += np2[t];
+            }
+        }
+    }
+    if (ret == 0) {
+        out_counts[0] = nrec;
+        out_counts[1] = npat;
+    }
+    return ret;
+}
+
+// Prep from precomputed scan_block_full outputs: starts/litpos carry
+// the S/S+1 sentinels, literals are already extracted — phase 1 is
+// skipped entirely (the single-block request fast path).
+int32_t lz4tpu_prep_fused_pre(
+    const int32_t* ll, const int32_t* ml, const int32_t* mo,
+    const int32_t* ls, int64_t S,
+    const uint8_t* buf,
+    int64_t n_win,
+    const int32_t* starts,   // [S + 2] with sentinels
+    const int32_t* litpos,   // [S + 2] with sentinels
+    uint8_t* lits, int64_t n_out,
+    int32_t* winq, int32_t* scal, int32_t* seqrec, int32_t* patch,
+    int64_t* out_counts, int32_t n_threads) {
+    const int prof = getenv("LZ4TPU_PREP_PROFILE") != NULL;
+    return fz_prep_body(ll, ml, mo, ls, S, buf, 0, n_win,
+                        starts, litpos, lits, n_out,
+                        winq, scal, seqrec, patch, out_counts,
+                        n_threads, 0, prof, prof ? fz_now_ns() : 0);
+}
+
 int32_t lz4tpu_prep_fused(
     const int32_t* ll, const int32_t* ml, const int32_t* mo,
     const int32_t* ls, int64_t S,
@@ -1957,90 +2159,17 @@ int32_t lz4tpu_prep_fused(
     litpos[S] = (int32_t)lp; litpos[S + 1] = (int32_t)lp;
     const int64_t n_sub = (n_out + FZ_SUB - 1) / FZ_SUB;
     const int64_t nsub1 = n_sub ? n_sub : 1;
+    // Reserve the body's scratch HERE so fz_prep_body's own reserve
+    // is a guaranteed no-op (a realloc there would move the arena
+    // under the starts/litpos pointers we pass in).
     if (fz_arena_reserve(A, 0, 2 * ns1 + 4 * nsub1 + S + 1))
         return -99;
     starts = A->i32;             // reserve may have moved the arena
     litpos = A->i32 + ns1;
-    int32_t* wb_arr = A->i32 + 2 * ns1;
-    int32_t* counts = A->i32 + 2 * ns1 + nsub1;
-    int32_t* rec_counts = A->i32 + 2 * ns1 + 2 * nsub1;
-    int32_t* so_arr = A->i32 + 2 * ns1 + 3 * nsub1;
-    int32_t* cand = A->i32 + 2 * ns1 + 4 * nsub1;
-    memset(counts, 0, (size_t)nsub1 * 4);
-    memset(rec_counts, 0, (size_t)nsub1 * 4);
-    fz_ctx c = { ll, ml, mo, ls, S, buf, lit_base, n_win, lits, winq,
-                 scal, seqrec, patch, counts, rec_counts, starts,
-                 litpos, wb_arr, so_arr, n_sub, n_out };
-    int32_t ret = 0;
-    int64_t nrec = 0, npat = 0, ncand = 0;
-    if (prof) {
-        int64_t t1 = fz_now_ns();
-        ret = fz_fused_serial(&c, wb_arr, &nrec, &npat, cand, &ncand);
-        int64_t t2 = fz_now_ns();
-        if (ret == 0) fz_zero_tails(&c, 0, n_sub);
-        int64_t t3 = fz_now_ns();
-        fprintf(stderr,
-                "prep_fused S=%lld n_sub=%lld cand=%lld: lits+starts "
-                "%.3f ms, fused scal+rec+patch %.3f, tails %.3f\n",
-                (long long)S, (long long)n_sub, (long long)ncand,
-                (t1 - tp0) * 1e-6, (t2 - t1) * 1e-6, (t3 - t2) * 1e-6);
-    } else if (n_threads <= 1 || n_sub < 4 * (int64_t)n_threads) {
-        ret = fz_fused_serial(&c, wb_arr, &nrec, &npat, cand, &ncand);
-        if (ret == 0) fz_zero_tails(&c, 0, n_sub);
-    } else {
-        const int64_t T = n_threads;
-        const int64_t per = (n_sub + T - 1) / T;
-        std::vector<int32_t> st2(T, 0), st3(T, 0), st4(T, 0);
-        std::vector<int64_t> nr(T, 0), np2(T, 0);
-        {
-            std::vector<std::thread> ths;
-            for (int64_t t = 0; t < T; ++t) {
-                int64_t a = t * per, b = a + per;
-                if (b > n_sub) b = n_sub;
-                if (a >= b) continue;
-                ths.emplace_back([&, t, a, b] {
-                    st2[t] = fz_scal_range(&c, a, b, wb_arr);
-                });
-            }
-            for (auto& th : ths) th.join();
-        }
-        // first failing range wins so threaded runs report the same
-        // overflow reason as the serial pass (lowest substep range)
-        for (int64_t t = 0; t < T; ++t)
-            if (st2[t] && ret == 0) ret = st2[t];
-        if (ret == 0) {
-            std::vector<std::thread> ths;
-            for (int64_t t = 0; t < T; ++t) {
-                int64_t a = t * per, b = a + per;
-                if (b > n_sub) b = n_sub;
-                if (a >= b) continue;
-                ths.emplace_back([&, t, a, b] {
-                    st3[t] = fz_records_range(&c, a, b, &nr[t]);
-                    if (st3[t] == 0)
-                        st4[t] = fz_patch_range(&c, a, b, &np2[t]);
-                    if (st3[t] == 0 && st4[t] == 0)
-                        fz_zero_tails(&c, a, b);
-                });
-            }
-            for (auto& th : ths) th.join();
-            // match the serial pass's reason: all records errors
-            // (phase 3) precede any patch error (phase 4), lowest
-            // substep range first within a phase
-            for (int64_t t = 0; t < T; ++t)
-                if (st3[t] && ret == 0) ret = st3[t];
-            for (int64_t t = 0; t < T; ++t)
-                if (st4[t] && ret == 0) ret = st4[t];
-            for (int64_t t = 0; t < T; ++t) {
-                nrec += nr[t];
-                npat += np2[t];
-            }
-        }
-    }
-    if (ret == 0) {
-        out_counts[0] = nrec;
-        out_counts[1] = npat;
-    }
-    return ret;
+    return fz_prep_body(ll, ml, mo, ls, S, buf, lit_base, n_win,
+                        starts, litpos, lits, n_out,
+                        winq, scal, seqrec, patch, out_counts,
+                        n_threads, 2 * ns1, prof, tp0);
 }
 
 

@@ -91,6 +91,14 @@ class SeqTable:
     n_out: int
     frame_out_start: np.ndarray  # int64 [F+1] output offsets of frame bounds
     spans: list = dataclasses.field(default_factory=list)  # [BlockSpan]
+    # Single-block fast path only (build_seq_table(pooled_cols=True)):
+    # (starts_ext[S+2], litpos_ext[S+2], lits_flat, max_off) from
+    # native.scan_block_full — lets prep_fused skip its phase 1
+    # (prefix sums + literal extraction).  When set, ALL columns are
+    # views into per-thread scan scratch, invalidated by the thread's
+    # next build_seq_table — the request pipeline consumes a table
+    # fully before scanning the next request.
+    pre: tuple | None = None
 
 
 def _oracle_rerun(data: bytes, reservation: Reservation) -> None:
@@ -130,8 +138,56 @@ class BatchCapacityExceeded(Exception):
 _BATCH_MAX_OUT = (1 << 31) - 1
 
 
-def build_seq_table(
+def _build_seq_table_single(
     buf: np.ndarray, parsed: ParseResult, reservation: Reservation, data
+) -> SeqTable:
+    """Single-compressed-block fast path: ONE native pass emits the
+    columns (with the fused prep's sentinel slots), the cumulative
+    literal positions, and the extracted literal stream — no column
+    concatenation, no second prefix pass in prep (the dominant
+    request shape: one frame, one block, e.g. any stream <= the 4 MiB
+    max block size).  Columns alias per-thread scan scratch — see
+    SeqTable.pre."""
+    from . import native
+
+    frame = parsed.frames[0]
+    blk = frame.blocks[0]
+    if blk.comp_off + blk.comp_len > _BATCH_MAX_OUT:
+        raise BatchCapacityExceeded(blk.comp_off + blk.comp_len)
+    (status, starts_ext, ll, ls, ml, mo, litpos_ext, lits, total,
+     min_reach, max_off) = native.scan_block_full(
+        buf[blk.comp_off:blk.comp_off + blk.comp_len], blk.comp_off)
+    if status != native.OK:
+        _oracle_rerun(data, reservation)   # always raises
+    if min_reach < 0:
+        # back-reference before the frame start (lz4ada.adb:867-874)
+        _oracle_rerun(data, reservation)   # always raises
+    if total > _BATCH_MAX_OUT:
+        raise BatchCapacityExceeded(total)
+    if frame.content_size is not None:
+        if total > frame.content_size:
+            raise err_content_size_exceeded()
+        if total < frame.content_size:
+            raise err_content_size_leftover(frame.content_size - total)
+    span = BlockSpan(
+        frame_id=frame.frame_id,
+        seq_lo=0, seq_hi=ll.size,
+        out_lo=0, out_hi=total,
+        independent=frame.block_independence,
+    )
+    return SeqTable(
+        out_start=starts_ext[:ll.size],
+        lit_len=ll, lit_src=ls, match_len=ml, match_off=mo,
+        n_out=total,
+        frame_out_start=np.array([0, total], np.int64),
+        spans=[span],
+        pre=(starts_ext, litpos_ext, lits, max_off),
+    )
+
+
+def build_seq_table(
+    buf: np.ndarray, parsed: ParseResult, reservation: Reservation, data,
+    pooled_cols: bool = False,
 ) -> SeqTable:
     """Token-scan every block into one global sequence table.
 
@@ -145,8 +201,21 @@ def build_seq_table(
     token scan across worker threads (the scan runs block-relative —
     ctypes releases the GIL — and the global output prefix is added to
     the per-block columns afterwards, a single vectorized pass).
+
+    ``pooled_cols=True`` (internal request paths) enables the
+    single-compressed-block fast path whose columns alias per-thread
+    scan scratch (see SeqTable.pre): valid until this thread's next
+    build_seq_table call, so callers must fully consume the table
+    before building another.  Default False always returns
+    caller-owned arrays.
     """
     from . import native
+
+    if (pooled_cols and native.available()
+            and len(parsed.frames) == 1
+            and len(parsed.frames[0].blocks) == 1
+            and parsed.frames[0].blocks[0].is_compressed):
+        return _build_seq_table_single(buf, parsed, reservation, data)
 
     # Phase A: scan all compressed blocks, block-relative, possibly in
     # parallel.  Results consumed in stream order below, so error
@@ -505,10 +574,12 @@ def plan_decode(buf: np.ndarray, parsed: ParseResult, table: SeqTable,
         from .device import fused as fu
 
         def _try(chs):
+            ranges = [(c.seq_lo, c.seq_hi) for c in chs]
             prep = fu.prep_fused(
                 table.lit_len, table.match_len, table.match_off,
-                table.lit_src, buf,
-                chain_ranges=[(c.seq_lo, c.seq_hi) for c in chs],
+                table.lit_src, buf, chain_ranges=ranges,
+                pre=(table.pre
+                     if ranges == [(0, table.lit_len.size)] else None),
             )
             plan.fused_chains = chs
             plan.fused_prep = prep
@@ -785,7 +856,8 @@ def decompress_to_device(
         return jnp.zeros(0, jnp.uint8)
     parsed = parse_frames(buf, reservation)
     try:
-        table = build_seq_table(buf, parsed, reservation, data)
+        table = build_seq_table(buf, parsed, reservation, data,
+                               pooled_cols=True)
     except BatchCapacityExceeded as e:
         raise ValueError(
             "decompress_to_device: stream decodes past 2**31-1 bytes, "
@@ -846,7 +918,8 @@ def decompress_device(
     parsed = parse_frames(buf, reservation)
     t1 = _time.perf_counter()
     try:
-        table = build_seq_table(buf, parsed, reservation, data)
+        table = build_seq_table(buf, parsed, reservation, data,
+                               pooled_cols=True)
     except BatchCapacityExceeded:
         # stream decodes past int32 coordinates: the size-unbounded
         # streaming host engine takes over

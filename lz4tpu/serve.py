@@ -267,7 +267,8 @@ class DecodeSession:
             return
         parsed = pl.parse_frames(buf, self.reservation)
         try:
-            table = pl.build_seq_table(buf, parsed, self.reservation, data)
+            table = pl.build_seq_table(buf, parsed, self.reservation,
+                                       data, pooled_cols=True)
         except pl.BatchCapacityExceeded:
             from .api import decompress_host
 
