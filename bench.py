@@ -92,7 +92,8 @@ def bench_sustained(datas, sync_probe):
         for data in datas:
             buf = np.frombuffer(data, np.uint8)
             parsed = parse_frames(buf, FOR_ALL)
-            table = build_seq_table(buf, parsed, FOR_ALL, data)
+            table = build_seq_table(buf, parsed, FOR_ALL, data,
+                                    pooled_cols=True)
             plan_decode(buf, parsed, table)
     rounds = max(5, SUSTAINED_ROUNDS // 4)
     per_round = []
@@ -101,7 +102,8 @@ def bench_sustained(datas, sync_probe):
         for data in datas:
             buf = np.frombuffer(data, np.uint8)
             parsed = parse_frames(buf, FOR_ALL)
-            table = build_seq_table(buf, parsed, FOR_ALL, data)
+            table = build_seq_table(buf, parsed, FOR_ALL, data,
+                                    pooled_cols=True)
             plan_decode(buf, parsed, table)
         per_round.append(time.time() - t0)
     # median round: the single core is shared, spikes are the VM's
@@ -161,7 +163,8 @@ def main() -> int:
         data = (VECTOR_DIR / f"{name}.lz4").read_bytes()
         buf = np.frombuffer(data, dtype=np.uint8)
         parsed = parse_frames(buf, FOR_ALL)
-        table = build_seq_table(buf, parsed, FOR_ALL, data)
+        table = build_seq_table(buf, parsed, FOR_ALL, data,
+                                    pooled_cols=True)
         n_out = table.n_out
 
         # ---- timed host stage: plan + fused/sparse prep -------------
