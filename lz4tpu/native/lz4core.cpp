@@ -1419,6 +1419,22 @@ static inline int64_t fz_owner_win(const int32_t* starts, int64_t lo0,
     return lo > lo0 ? lo - 1 : lo0;
 }
 
+#if defined(__AVX2__)
+// Left-pack lane indices of set mask bits (branchless candidate
+// emission: a predicated `while (cm)` bit loop mispredicts ~every
+// vector body on text and cost ~0.2 ms/222K seqs, measured).
+static uint8_t fz_pack_idx[256][8];
+static const bool fz_pack_idx_init = [] {
+    for (int m = 0; m < 256; ++m) {
+        int n = 0;
+        for (int b = 0; b < 8; ++b)
+            if (m & (1 << b)) fz_pack_idx[m][n++] = (uint8_t)b;
+        for (; n < 8; ++n) fz_pack_idx[m][n] = 0;
+    }
+    return true;
+}();
+#endif
+
 static inline int fz_digits2(int64_t x, int64_t* d0, int64_t* d1,
                              int64_t* carry) {
     int64_t a = ((x + 128) & 255) - 128;
@@ -1847,18 +1863,44 @@ static int32_t fz_fused_serial(const fz_ctx* c, int32_t* wb_out,
                         prevU = _mm256_extract_epi32(Uv, 7);
                         prevV = _mm256_extract_epi32(Vv, 7);
                         prevB = _mm256_extract_epi32(Bv, 7);
+                        // Candidate = in-substep match (mo < SUB) that
+                        // can actually emit a patch: its first-piece
+                        // window [sb_m + mo, mend) is nonempty, or it
+                        // crosses a substep boundary (conservative
+                        // keep; fz_patch_seq re-derives windows, so a
+                        // kept candidate that emits nothing is only a
+                        // few ns).  Emission is a branchless left-pack
+                        // of the mask lanes.
                         const __m256i mlv = _mm256_loadu_si256(
                             (const __m256i*)(c->ml + s));
-                        int cm = _mm256_movemask_ps(_mm256_castsi256_ps(
+                        const __m256i mstartv =
+                            _mm256_add_epi32(stv, llv);
+                        const __m256i sbmv = _mm256_andnot_si256(
+                            _mm256_set1_epi32(FZ_SUB - 1), mstartv);
+                        const __m256i crossv = _mm256_cmpgt_epi32(
+                            _mm256_srai_epi32(
+                                _mm256_sub_epi32(
+                                    stn, _mm256_set1_epi32(1)),
+                                FZ_SUB_SHIFT),
+                            _mm256_srai_epi32(mstartv, FZ_SUB_SHIFT));
+                        const __m256i inpv = _mm256_cmpgt_epi32(
+                            stn, _mm256_add_epi32(sbmv, mov));
+                        const __m256i candm = _mm256_and_si256(
                             _mm256_and_si256(
                                 _mm256_cmpgt_epi32(mlv, zero),
                                 _mm256_cmpgt_epi32(
-                                    _mm256_set1_epi32(FZ_SUB), mov))));
-                        while (cm) {
-                            int k = __builtin_ctz(cm);
-                            cand[ncand++] = (int32_t)(s + k);
-                            cm &= cm - 1;
-                        }
+                                    _mm256_set1_epi32(FZ_SUB), mov)),
+                            _mm256_or_si256(crossv, inpv));
+                        const int cm = _mm256_movemask_ps(
+                            _mm256_castsi256_ps(candm));
+                        const __m256i idxv = _mm256_cvtepu8_epi32(
+                            _mm_loadl_epi64(
+                                (const __m128i*)fz_pack_idx[cm]));
+                        _mm256_storeu_si256(
+                            (__m256i*)(cand + ncand),
+                            _mm256_add_epi32(
+                                _mm256_set1_epi32((int32_t)s), idxv));
+                        ncand += __builtin_popcount((unsigned)cm);
                         s += 8;
                         continue;
                     }
@@ -1905,8 +1947,14 @@ static int32_t fz_fused_serial(const fz_ctx* c, int32_t* wb_out,
         ++slot; ++nrec;
         c->rec_counts[sub_i] = (int32_t)slot;
         prevU = U; prevV = V; prevB = B;
-        if (c->ml[s] > 0 && c->mo[s] < FZ_SUB)
-            cand[ncand++] = (int32_t)s;
+        if (c->ml[s] > 0 && c->mo[s] < FZ_SUB) {
+            // same can-emit prefilter as the vector path
+            const int64_t mstart = st + c->ll[s];
+            const int64_t sbm = mstart & ~(int64_t)(FZ_SUB - 1);
+            if (((end - 1) >> FZ_SUB_SHIFT) > (mstart >> FZ_SUB_SHIFT)
+                || end > sbm + c->mo[s])
+                cand[ncand++] = (int32_t)s;
+        }
         ++s;
     }
     // trailing substeps with no seq start past them (match spans)
@@ -1925,8 +1973,9 @@ static int32_t fz_fused_serial(const fz_ctx* c, int32_t* wb_out,
         if (st2) return st2;
     }
     if (tb2)
-        fprintf(stderr, "  fused: B1 scan+rec ends, B2 patches %.3f ms\n",
-                (fz_now_ns() - tb2) * 1e-6);
+        fprintf(stderr, "  fused: B1 scan+rec ends, B2 patches %.3f ms "
+                "(cand %lld)\n",
+                (fz_now_ns() - tb2) * 1e-6, (long long)ncand);
     *npat_out = npat;
     return 0;
 }
@@ -1955,7 +2004,9 @@ static int32_t fz_prep_body(
     fz_arena* A = fz_arena_get();
     const int64_t n_sub = (n_out + FZ_SUB - 1) / FZ_SUB;
     const int64_t nsub1 = n_sub ? n_sub : 1;
-    if (fz_arena_reserve(A, 0, scratch_off + 4 * nsub1 + S + 1))
+    // +8: the vector candidate left-pack stores a full 8-lane vector
+    // at cand+ncand and advances by popcount only
+    if (fz_arena_reserve(A, 0, scratch_off + 4 * nsub1 + S + 9))
         return -99;
     int32_t* wb_arr = A->i32 + scratch_off;
     int32_t* counts = A->i32 + scratch_off + nsub1;
