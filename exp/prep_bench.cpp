@@ -282,7 +282,7 @@ int main(int argc, char** argv) {
             (const uint8_t*)buf.data(), n_win,
             (const int32_t*)starts.data(), (const int32_t*)litpos.data(),
             (uint8_t*)lits.data(), n_out, winq.data(), scal.data(),
-            seqrec.data(), patch.data(), counts, 1);
+            seqrec.data(), patch.data(), nullptr, counts, 1);
         int64_t t1 = fz_now_ns();
         if (st) { fprintf(stderr, "prep status %d\n", st); return 1; }
         ms[r] = (t1 - t0) * 1e-6;
@@ -305,7 +305,7 @@ int main(int argc, char** argv) {
                  seqrec.data(), patch.data(), cnts.data(),
                  rcnts.data(), (const int32_t*)starts.data(),
                  (const int32_t*)litpos.data(), wb.data(), so.data(),
-                 n_sub, n_out };
+                 nullptr, n_sub, n_out };
     int64_t nrec = 0, npat = 0, ncand = 0;
     if (fz_fused_serial(&c, wb.data(), &nrec, &npat, cand.data(),
                         &ncand))

@@ -338,6 +338,7 @@ def _pool_arrays(nst: int, lit_cap: int):
             np.zeros((nst, 8), np.int32),
             np.zeros((nst, 2, 8, SEQ_MAX // 8), np.int32),
             np.zeros((nst, 8, PATCH_MAX // 8), np.int32),
+            np.zeros((nst, 2), np.int32),
         )
     nst_b = -(-nst // 64) * 64
     lit_b = 1 << max(12, (lit_cap - 1).bit_length())
@@ -345,8 +346,9 @@ def _pool_arrays(nst: int, lit_cap: int):
     q = _POOL.setdefault(key, collections.deque())
     if len(q) >= _POOL_DEPTH:
         # buffers come back DIRTY: the native prep writes every live
-        # slot and zeroes the tails itself (fz_zero_tails); zero-filling
-        # multi-MB arrays here cost ~0.5 ms/request
+        # slot and zeroes the tails itself (fz_zero_tails, bounded by
+        # the hw high-water array carried with the buffers); zero-
+        # filling multi-MB arrays here cost ~0.5 ms/request
         bufs = q.popleft()
     else:
         bufs = (
@@ -355,11 +357,12 @@ def _pool_arrays(nst: int, lit_cap: int):
             np.zeros((nst_b, 8), np.int32),
             np.zeros((nst_b, 2, 8, SEQ_MAX // 8), np.int32),
             np.zeros((nst_b, 8, PATCH_MAX // 8), np.int32),
+            np.zeros((nst_b, 2), np.int32),
         )
     q.append(bufs)
-    lits_b, winq_b, scal_b, seqrec_b, patch_b = bufs
+    lits_b, winq_b, scal_b, seqrec_b, patch_b, hw_b = bufs
     return (lits_b[:lit_cap], winq_b[:nst], scal_b[:nst],
-            seqrec_b[:nst], patch_b[:nst])
+            seqrec_b[:nst], patch_b[:nst], hw_b[:nst])
 
 
 def _prep_fused_native_pre(lit_len, match_len, match_off, lit_src,
@@ -377,7 +380,7 @@ def _prep_fused_native_pre(lit_len, match_len, match_off, lit_src,
     n_sub = -(-n_out // SUB) if n_out else 0
     n_win = max(1, -(-max(1, n_lit) // LITWIN_Q))
     nst = max(n_sub, 1)
-    _, winq, scal, seqrec, patch = _pool_arrays(nst, 1)
+    _, winq, scal, seqrec, patch, hw = _pool_arrays(nst, 1)
     out_spans = [(0, 0, n_sub, n_out)]
     if n_sub == 0:
         return FusedPrep(
@@ -395,6 +398,7 @@ def _prep_fused_native_pre(lit_len, match_len, match_off, lit_src,
             np.ascontiguousarray(lit_src, np.int32),
             buf8, n_win, starts_ext, litpos_ext, lits_flat, n_out,
             winq[:n_sub], scal[:n_sub], seqrec[:n_sub], patch[:n_sub],
+            hw[:n_sub],
         )
     except ValueError as exc:
         raise FusedOverflow(str(exc)) from None
@@ -425,7 +429,7 @@ def _prep_fused_native(lit_len, match_len, match_off, lit_src, buf,
         n_sub_total += n_sub_c
     n_win = max(1, -(-max(1, lit_acc) // LITWIN_Q))
     nst = max(n_sub_total, 1)
-    lits_flat, winq, scal, seqrec, patch = _pool_arrays(
+    lits_flat, winq, scal, seqrec, patch, hw = _pool_arrays(
         nst, max(lit_acc, 1)
     )
     out_spans = []
@@ -444,6 +448,7 @@ def _prep_fused_native(lit_len, match_len, match_off, lit_src, buf,
             scal[sub0:sub0 + n_sub_c],
             seqrec[sub0:sub0 + n_sub_c],
             patch[sub0:sub0 + n_sub_c],
+            hw[sub0:sub0 + n_sub_c],
         )
 
     live = [m for m in metas if m[5] > 0]

@@ -105,7 +105,8 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         c.c_int64, c.c_int64,                     # lit_base, n_win
         u8p, c.c_int64,                           # lits, lit_cap
         i32p, i32p, i32p, i32p,                   # winq, scal,
-        i64p,                                     # seqrec, patch, counts
+        i32p,                                     # seqrec, patch, hw
+        i64p,                                     # counts
         c.c_int32,                                # n_threads
     ]
     lib.lz4tpu_scan_block_full.restype = c.c_int64
@@ -124,6 +125,7 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         i32p, i32p,                               # starts, litpos (S+2)
         u8p, c.c_int64,                           # lits, n_out
         i32p, i32p, i32p, i32p,                   # winq, scal, seqrec, patch
+        i32p,                                     # hw
         i64p,                                     # counts
         c.c_int32,                                # n_threads
     ]
@@ -473,9 +475,13 @@ def scan_block_full(src, comp_off: int = 0):
 
 def prep_fused_chain_pre(ll, ml, mo, ls, buf, n_win, starts, litpos,
                          lits, n_out, winq, scal, seqrec, patch,
-                         n_threads=None):
+                         hw=None, n_threads=None):
     """Native fused prep from scan_block_full outputs (phase 1 —
-    prefix sums + literal extraction — already done at scan time)."""
+    prefix sums + literal extraction — already done at scan time).
+
+    ``hw`` is the pool's per-substep [n_sub, 2] int32 dirty high-water
+    array (carried with the seqrec/patch buffers): tail zeroing stops
+    at the previous request's counts instead of the slot capacity."""
     c = ctypes
     i32p = c.POINTER(c.c_int32)
 
@@ -491,6 +497,7 @@ def prep_fused_chain_pre(ll, ml, mo, ls, buf, n_win, starts, litpos,
         ip(starts), ip(litpos),
         _u8ptr(lits), c.c_int64(n_out),
         ip(winq), ip(scal), ip(seqrec), ip(patch),
+        ip(hw) if hw is not None else i32p(),
         counts.ctypes.data_as(c.POINTER(c.c_int64)),
         c.c_int32(n_threads if n_threads is not None
                   else pack_threads()),
@@ -501,7 +508,8 @@ def prep_fused_chain_pre(ll, ml, mo, ls, buf, n_win, starts, litpos,
 
 
 def prep_fused_chain(ll, ml, mo, ls, buf, lit_base, n_win,
-                     lits, winq, scal, seqrec, patch, n_threads=None):
+                     lits, winq, scal, seqrec, patch, hw=None,
+                     n_threads=None):
     """Native fused-engine prep for one chain (device/fused.py layout).
 
     Writes into the caller's zeroed per-chain array views; returns
@@ -522,6 +530,7 @@ def prep_fused_chain(ll, ml, mo, ls, buf, lit_base, n_win,
         c.c_int64(lit_base), c.c_int64(n_win),
         _u8ptr(lits), c.c_int64(lits.size),
         ip(winq), ip(scal), ip(seqrec), ip(patch),
+        ip(hw) if hw is not None else i32p(),
         counts.ctypes.data_as(c.POINTER(c.c_int64)),
         c.c_int32(n_threads if n_threads is not None
                   else pack_threads()),

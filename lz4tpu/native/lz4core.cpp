@@ -1461,6 +1461,10 @@ typedef struct {
     const int32_t *starts, *litpos;
     const int32_t* wb_arr;
     int32_t* so_arr;      // [n_sub]: seq owning each substep base
+    int32_t* hw;          // [n_sub*2] or NULL: per-substep dirty
+                          // high-water marks carried WITH the pooled
+                          // seqrec/patch buffers (hw[2i]=rec slots,
+                          // hw[2i+1]=patch slots written last use)
     int64_t n_sub, n_out;
 } fz_ctx;
 
@@ -1572,17 +1576,29 @@ static int32_t fz_records_range(const fz_ctx* c, int64_t i_lo,
 
 // phase 5: zero the unwritten slot tails (callers hand DIRTY pooled
 // buffers; zero-filling multi-MB arrays per request costs more than
-// the prep's own arithmetic)
+// the prep's own arithmetic).  With hw marks the memsets stop at the
+// buffer's PREVIOUS per-substep write counts instead of the slot
+// capacity, so a steady-state pool (same workload shape) zeroes
+// almost nothing; hw is then updated to this request's counts.
 static void fz_zero_tails(const fz_ctx* c, int64_t i_lo, int64_t i_hi) {
     for (int64_t i = i_lo; i < i_hi; ++i) {
         const int64_t rc = c->rec_counts[i];
-        memset(c->seqrec + (i * 2 + 0) * FZ_SEQ_MAX + rc, 0,
-               (size_t)(FZ_SEQ_MAX - rc) * 4);
-        memset(c->seqrec + (i * 2 + 1) * FZ_SEQ_MAX + rc, 0,
-               (size_t)(FZ_SEQ_MAX - rc) * 4);
         const int64_t pc = c->counts[i];
+        int64_t rhi = FZ_SEQ_MAX, phi = FZ_PATCH_MAX;
+        if (c->hw) {
+            rhi = c->hw[2 * i] > rc ? c->hw[2 * i] : rc;
+            phi = c->hw[2 * i + 1] > pc ? c->hw[2 * i + 1] : pc;
+        }
+        memset(c->seqrec + (i * 2 + 0) * FZ_SEQ_MAX + rc, 0,
+               (size_t)(rhi - rc) * 4);
+        memset(c->seqrec + (i * 2 + 1) * FZ_SEQ_MAX + rc, 0,
+               (size_t)(rhi - rc) * 4);
         memset(c->patch + i * FZ_PATCH_MAX + pc, 0,
-               (size_t)(FZ_PATCH_MAX - pc) * 4);
+               (size_t)(phi - pc) * 4);
+        if (c->hw) {
+            c->hw[2 * i] = (int32_t)rc;
+            c->hw[2 * i + 1] = (int32_t)pc;
+        }
     }
 }
 
@@ -1999,6 +2015,7 @@ static int32_t fz_prep_body(
     const int32_t* starts, const int32_t* litpos,
     uint8_t* lits, int64_t n_out,
     int32_t* winq, int32_t* scal, int32_t* seqrec, int32_t* patch,
+    int32_t* hw,
     int64_t* out_counts, int32_t n_threads,
     int64_t scratch_off, int prof, int64_t tp0) {
     fz_arena* A = fz_arena_get();
@@ -2017,7 +2034,7 @@ static int32_t fz_prep_body(
     memset(rec_counts, 0, (size_t)nsub1 * 4);
     fz_ctx c = { ll, ml, mo, ls, S, buf, lit_base, n_win, lits, winq,
                  scal, seqrec, patch, counts, rec_counts, starts,
-                 litpos, wb_arr, so_arr, n_sub, n_out };
+                 litpos, wb_arr, so_arr, hw, n_sub, n_out };
     int32_t ret = 0;
     int64_t nrec = 0, npat = 0, ncand = 0;
     if (prof) {
@@ -2086,6 +2103,16 @@ static int32_t fz_prep_body(
     if (ret == 0) {
         out_counts[0] = nrec;
         out_counts[1] = npat;
+    } else if (hw) {
+        // An aborted pass (overflow) wrote live slots but never ran
+        // fz_zero_tails, so the buffer's dirt is no longer described
+        // by hw: mark every substep at capacity so the pool's next
+        // user zeroes conservatively.  (Writes never exceed the
+        // running counts, but capacity is the simple safe bound.)
+        for (int64_t i = 0; i < n_sub; ++i) {
+            hw[2 * i] = FZ_SEQ_MAX;
+            hw[2 * i + 1] = FZ_PATCH_MAX;
+        }
     }
     return ret;
 }
@@ -2102,11 +2129,12 @@ int32_t lz4tpu_prep_fused_pre(
     const int32_t* litpos,   // [S + 2] with sentinels
     uint8_t* lits, int64_t n_out,
     int32_t* winq, int32_t* scal, int32_t* seqrec, int32_t* patch,
+    int32_t* hw,
     int64_t* out_counts, int32_t n_threads) {
     const int prof = getenv("LZ4TPU_PREP_PROFILE") != NULL;
     return fz_prep_body(ll, ml, mo, ls, S, buf, 0, n_win,
                         starts, litpos, lits, n_out,
-                        winq, scal, seqrec, patch, out_counts,
+                        winq, scal, seqrec, patch, hw, out_counts,
                         n_threads, 0, prof, prof ? fz_now_ns() : 0);
 }
 
@@ -2121,6 +2149,7 @@ int32_t lz4tpu_prep_fused(
     int32_t* scal,           // [n_sub * 8]
     int32_t* seqrec,         // [n_sub * 2 * FZ_SEQ_MAX]
     int32_t* patch,          // [n_sub * FZ_PATCH_MAX]
+    int32_t* hw,             // [n_sub * 2] pool high-water or NULL
     int64_t* out_counts,     // [2]: n_seq_recs, n_patches
     int32_t n_threads) {
     const int prof = getenv("LZ4TPU_PREP_PROFILE") != NULL;
@@ -2213,13 +2242,13 @@ int32_t lz4tpu_prep_fused(
     // Reserve the body's scratch HERE so fz_prep_body's own reserve
     // is a guaranteed no-op (a realloc there would move the arena
     // under the starts/litpos pointers we pass in).
-    if (fz_arena_reserve(A, 0, 2 * ns1 + 4 * nsub1 + S + 1))
+    if (fz_arena_reserve(A, 0, 2 * ns1 + 4 * nsub1 + S + 9))
         return -99;
     starts = A->i32;             // reserve may have moved the arena
     litpos = A->i32 + ns1;
     return fz_prep_body(ll, ml, mo, ls, S, buf, lit_base, n_win,
                         starts, litpos, lits, n_out,
-                        winq, scal, seqrec, patch, out_counts,
+                        winq, scal, seqrec, patch, hw, out_counts,
                         n_threads, 2 * ns1, prof, tp0);
 }
 

@@ -118,6 +118,59 @@ def test_round_trip_via_own_encoder():
     )
 
 
+def test_pool_high_water_across_shapes():
+    """Pooled prep buffers carry per-substep dirty high-water marks so
+    tail zeroing stops at the previous request's counts.  Alternating
+    inputs with very different records/patches per substep through the
+    same pool class — including an overflow abort in between, which
+    must conservatively re-mark the buffer — every decode stays exact."""
+    import lz4tpu
+
+    def _one(payload):
+        data = lz4tpu.compress(payload)
+        buf = np.frombuffer(data, np.uint8)
+        parsed = parse_frames(buf, FOR_ALL)
+        t = build_seq_table(buf, parsed, FOR_ALL, data)
+        prep = fused.prep_fused(
+            t.lit_len, t.match_len, t.match_off, t.lit_src, buf
+        )
+        _check_spans(fused.golden_decode(prep), prep, payload)
+
+    dense = None
+    for attempt in range(16):   # resample until within budget (same
+        rng = np.random.default_rng(11 + attempt)   # scheme as the
+        frags = [rng.integers(32, 127, rng.integers(5, 40),  # round-
+                              dtype=np.uint8).tobytes()      # trip test)
+                 for _ in range(512)]
+        cand = b"".join(frags[rng.integers(0, 512)] for _ in range(3000))
+        try:
+            _one(cand)
+        except fused.FusedOverflow:
+            continue
+        dense = cand
+        break
+    assert dense is not None, "16 resamples exceeded fused budgets"
+    sparse = bytes(rng.integers(0, 256, len(dense), dtype=np.uint8))
+    overflowing = b"ab" * (len(dense) // 2)
+
+    for _ in range(3):
+        _one(dense)          # many records + patches per substep
+        _one(sparse)         # almost none: tails must be re-zeroed
+    try:
+        data = lz4tpu.compress(overflowing)
+        buf = np.frombuffer(data, np.uint8)
+        parsed = parse_frames(buf, FOR_ALL)
+        t = build_seq_table(buf, parsed, FOR_ALL, data)
+        fused.prep_fused(
+            t.lit_len, t.match_len, t.match_off, t.lit_src, buf
+        )
+    except fused.FusedOverflow:
+        pass
+    for _ in range(6):       # cycle the whole pool past the aborted set
+        _one(sparse)
+        _one(dense)
+
+
 def test_guaranteed_overflow_falls_back():
     """A stream that MUST overflow the patch budget (every byte an
     offset-2 in-substep reference) pins the FusedOverflow fallback:
