@@ -381,6 +381,115 @@ int main(int argc, char** argv) {
         time_b1("B1 no-digits ", b1_variant<false, true, true>);
         time_b1("B1 bare      ", b1_variant<false, false, false>);
     }
+    // V2: 8-lane affine store (base + k*STEP via one vector op),
+    // overshooting up to 7 slots past the run end (later runs in the
+    // substep overwrite; true tail overshoot must be covered by the
+    // zero-tails margin if this lands in production)
+    time_variant("V2 avx-store", [](const fz_ctx* c, int64_t s,
+                                    int64_t lo_b, int64_t hi_b,
+                                    int64_t* npat_io) -> int32_t {
+        const int64_t moff = c->mo[s];
+        const int64_t mstart = c->starts[s] + c->ll[s];
+        const int64_t mend = c->starts[s + 1];
+        int64_t cur_lo = mstart;
+        int pieces = 0;
+        while (cur_lo < mend) {
+            if (++pieces > 64) return -16;
+            const int64_t si = cur_lo >> FZ_SUB_SHIFT;
+            const int64_t sb = si * FZ_SUB;
+            int64_t pe = sb + FZ_SUB;
+            if (mend < pe) pe = mend;
+            if (sb < lo_b || sb >= hi_b) { cur_lo = pe; continue; }
+            int64_t plo = sb + moff;
+            if (cur_lo > plo) plo = cur_lo;
+            if (plo >= pe) { cur_lo = pe; continue; }
+            const int64_t w_lo = c->so_arr[si];
+            const int64_t w_hi = si + 1 < c->n_sub
+                ? (int64_t)c->so_arr[si + 1] + 1 : c->S + 1;
+            int64_t hint = fz_owner_win(c->starts, w_lo, w_hi,
+                                        plo - moff);
+            int64_t p = plo;
+            while (p < pe) {
+                int64_t p2 = p, code = 0;
+                int64_t rem = pe - p;
+                int depth = 0;
+                for (;;) {
+                    if (++depth > 64) return -14;
+                    int64_t s2;
+                    if (depth == 1) {
+                        s2 = s;
+                    } else if (depth == 2) {
+                        while (c->starts[hint + 1] <= p2) ++hint;
+                        s2 = hint;
+                    } else {
+                        s2 = fz_owner_win(c->starts, w_lo, w_hi, p2);
+                    }
+                    const int64_t local = p2 - c->starts[s2];
+                    const int64_t llv = FZ_LLv(c, s2);
+                    if (local < llv) {
+                        const int64_t lit_rel =
+                            c->litpos[s2] + local - c->wb_arr[si];
+                        if (lit_rel < 0 || lit_rel >= FZ_WPAGES * 256)
+                            return -13;
+                        if (llv - local < rem) rem = llv - local;
+                        if (FZ_WPAGES * 256 - lit_rel < rem)
+                            rem = FZ_WPAGES * 256 - lit_rel;
+                        code = 65536 + lit_rel;
+                        break;
+                    }
+                    const int64_t hop = p2 - FZ_MOv(c, s2);
+                    if (hop < sb) {
+                        if (sb - hop < rem) rem = sb - hop;
+                        const int64_t low = hop & 0xFFFF;
+                        if (65536 - low < rem) rem = 65536 - low;
+                        const int64_t seg_end = c->starts[s2 + 1];
+                        if (seg_end - p2 < rem) rem = seg_end - p2;
+                        code = low;
+                        break;
+                    }
+                    {
+                        const int64_t seg_end = c->starts[s2 + 1];
+                        if (seg_end - p2 < rem) rem = seg_end - p2;
+                    }
+                    p2 = hop;
+                }
+                if (rem < 1) rem = 1;
+                int64_t slot2 = c->counts[si];
+                if (slot2 + rem > FZ_PATCH_MAX) return -11;
+                c->counts[si] = (int32_t)(slot2 + rem);
+                int32_t* dst = c->patch + si * FZ_PATCH_MAX + slot2;
+                const int64_t base = ((p - sb) << 18) | code | FZ_TAG;
+#if defined(__AVX2__)
+                {
+                    const int32_t STEP = (1 << 18) | 1;
+                    __m256i v = _mm256_add_epi32(
+                        _mm256_set1_epi32((int32_t)base),
+                        _mm256_mullo_epi32(
+                            _mm256_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7),
+                            _mm256_set1_epi32(STEP)));
+                    const __m256i step8 = _mm256_set1_epi32(8 * STEP);
+                    if (slot2 + ((rem + 7) & ~7) <= FZ_PATCH_MAX) {
+                        for (int64_t k = 0; k < rem; k += 8) {
+                            _mm256_storeu_si256((__m256i*)(dst + k), v);
+                            v = _mm256_add_epi32(v, step8);
+                        }
+                    } else {
+                        for (int64_t k = 0; k < rem; ++k)
+                            dst[k] = (int32_t)(
+                                base + k * ((1 << 18) | 1));
+                    }
+                }
+#else
+                for (int64_t k = 0; k < rem; ++k)
+                    dst[k] = (int32_t)(base + k * ((1 << 18) | 1));
+#endif
+                *npat_io += rem;
+                p += rem;
+            }
+            cur_lo = pe;
+        }
+        return 0;
+    });
     time_variant("V1 no-store", [](const fz_ctx* c, int64_t s,
                                    int64_t lo_b, int64_t hi_b,
                                    int64_t* npat_io) -> int32_t {

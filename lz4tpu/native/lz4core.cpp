@@ -1588,6 +1588,13 @@ static void fz_zero_tails(const fz_ctx* c, int64_t i_lo, int64_t i_hi) {
         if (c->hw) {
             rhi = c->hw[2 * i] > rc ? c->hw[2 * i] : rc;
             phi = c->hw[2 * i + 1] > pc ? c->hw[2 * i + 1] : pc;
+            // the patch fill's 8-lane stores overshoot up to 7 slots
+            // past the substep's final count (last vector block
+            // starts at a slot <= pc-1) — always clear that margin
+            // even when hw says the buffer was clean there
+            int64_t pad = pc + 7;
+            if (pad > FZ_PATCH_MAX) pad = FZ_PATCH_MAX;
+            if (pad > phi) phi = pad;
         }
         memset(c->seqrec + (i * 2 + 0) * FZ_SEQ_MAX + rc, 0,
                (size_t)(rhi - rc) * 4);
@@ -1693,6 +1700,27 @@ static inline int32_t fz_patch_seq(const fz_ctx* c, int64_t s,
                 c->counts[si] = (int32_t)(slot2 + rem);
                 int32_t* dst = c->patch + si * FZ_PATCH_MAX + slot2;
                 const int64_t base = ((p - sb) << 18) | code | FZ_TAG;
+#if defined(__AVX2__)
+                // 8-lane affine fill (the scalar data-dependent loop
+                // cost ~0.4 ms/28K patch bytes on t1111k, measured).
+                // May overshoot up to 7 slots past the run end: later
+                // runs in the substep overwrite, and fz_zero_tails
+                // clears the final <=7-slot margin past the substep's
+                // count (see its phi bound).
+                if (slot2 + ((rem + 7) & ~(int64_t)7) <= FZ_PATCH_MAX) {
+                    const int32_t STEP = (1 << 18) | 1;
+                    __m256i v = _mm256_add_epi32(
+                        _mm256_set1_epi32((int32_t)base),
+                        _mm256_mullo_epi32(
+                            _mm256_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7),
+                            _mm256_set1_epi32(STEP)));
+                    const __m256i step8 = _mm256_set1_epi32(8 * STEP);
+                    for (int64_t k = 0; k < rem; k += 8) {
+                        _mm256_storeu_si256((__m256i*)(dst + k), v);
+                        v = _mm256_add_epi32(v, step8);
+                    }
+                } else
+#endif
                 for (int64_t k = 0; k < rem; ++k)
                     dst[k] = (int32_t)(base + k * ((1 << 18) | 1));
                 *npat_io += rem;
