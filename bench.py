@@ -61,6 +61,45 @@ VECTORS = ["z9m", "t1111k", "b3444k"]
 REF_MIBS = {"z9m": 2094.0, "t1111k": 1099.0, "b3444k": 1109.0}
 REPS = int(os.environ.get("LZ4TPU_BENCH_REPS", "6"))
 SUSTAINED_ROUNDS = int(os.environ.get("LZ4TPU_BENCH_SUSTAINED", "24"))
+# The dev tunnel's TPU backend has transient outages (minutes).  Wait
+# for it to come back before starting the timed run so one outage
+# doesn't turn the recorded benchmark into an import error.
+BACKEND_WAIT_S = float(os.environ.get("LZ4TPU_BENCH_BACKEND_WAIT", "900"))
+
+
+def wait_for_backend(max_wait: float = BACKEND_WAIT_S) -> None:
+    """Block until a JAX backend initializes in a probe subprocess.
+
+    The probe runs in a child so a failed init is never cached in this
+    process's xla_bridge state.  Gives up (and lets main() surface the
+    real error) after ``max_wait`` seconds.
+    """
+    import subprocess
+
+    deadline = time.time() + max_wait
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=150,
+                capture_output=True,
+            )
+            if r.returncode == 0:
+                if attempt > 1:
+                    print("backend up after %d probes" % attempt,
+                          file=sys.stderr)
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() > deadline:
+            print("backend still unavailable after %.0fs; proceeding"
+                  % max_wait, file=sys.stderr)
+            return
+        print("JAX backend unavailable (probe %d); retrying in 30s"
+              % attempt, file=sys.stderr)
+        time.sleep(30)
 
 
 def bench_sustained(datas, sync_probe):
@@ -342,4 +381,5 @@ def main() -> int:
 
 
 if __name__ == "__main__":
+    wait_for_backend()
     sys.exit(main())
