@@ -569,5 +569,13 @@ int main(int argc, char** argv) {
         }
         return 0;
     });
+    // Re-time the TU's production fz_patch_seq LAST: if this matches
+    // "B2 alone" from the early slot, the V2/B2 gap is code, not
+    // measurement order / turbo ramp.
+    time_variant("B2 again    ", [](const fz_ctx* c, int64_t s,
+                                    int64_t lo_b, int64_t hi_b,
+                                    int64_t* npat_io) -> int32_t {
+        return fz_patch_seq(c, s, lo_b, hi_b, npat_io);
+    });
     return 0;
 }
