@@ -30,6 +30,7 @@ layout).
 
 from __future__ import annotations
 
+import bisect
 import dataclasses
 import functools
 
@@ -63,6 +64,7 @@ class _Builder:
     def __init__(self, buf: np.ndarray):
         self.buf = buf
         self.ops: list = []
+        self._dsts: list = []   # ops are contiguous, sorted by dst
         self.pos = 0
 
     def _byte_at(self, p: int, depth: int = 0) -> int:
@@ -70,7 +72,12 @@ class _Builder:
         metadata (host side, no decoding)."""
         if depth > 16:
             raise _Unsupported("pattern chain too deep")
-        for op in reversed(self.ops):
+        # ops partition [0, pos) in dst order: bisect for the owner
+        # (the old linear reversed-scan was O(ops) per pattern byte —
+        # 0.17 ms of the b3444k plan)
+        i = bisect.bisect_right(self._dsts, p) - 1
+        if i >= 0:
+            op = self.ops[i]
             if op.dst <= p < op.dst + op.n:
                 rel = p - op.dst
                 if op.kind == "copy":
@@ -84,6 +91,7 @@ class _Builder:
         if len(self.ops) >= MAX_OPS:
             raise _Unsupported("too many segments for the sparse path")
         self.ops.append(op)
+        self._dsts.append(op.dst)
         self.pos += op.n
 
     def literal(self, comp_off: int, n: int):
