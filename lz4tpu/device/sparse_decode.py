@@ -33,6 +33,7 @@ from __future__ import annotations
 import bisect
 import dataclasses
 import functools
+import typing
 
 import numpy as np
 
@@ -41,8 +42,10 @@ MAX_SELF_CHUNKS = 32    # split budget for self-overlapping big matches
 MAX_OPS = 512           # program-size cap: beyond this, not "sparse"
 
 
-@dataclasses.dataclass(frozen=True)
-class SparseOp:
+class SparseOp(typing.NamedTuple):
+    # NamedTuple, not a frozen dataclass: program builds construct one
+    # op per segment and object.__setattr__-based init was the largest
+    # term in copy-heavy plans (b3444k: 54 ops)
     kind: str            # 'copy' | 'fill' | 'self'
     dst: int
     n: int
@@ -131,9 +134,12 @@ def build_sparse_program(
     sparse-shaped (the caller falls back to another engine)."""
     b = _Builder(buf)
     try:
-        for i in range(lit_len.size):
-            b.literal(lit_src[i], int(lit_len[i]))
-            b.match(max(int(match_off[i]), 1), int(match_len[i]))
+        # one bulk tolist() per array: per-element numpy-scalar
+        # conversion dominates this Python loop for copy-heavy chains
+        for ls, ll, mo, ml in zip(lit_src.tolist(), lit_len.tolist(),
+                                  match_off.tolist(), match_len.tolist()):
+            b.literal(ls, ll)
+            b.match(mo if mo > 1 else 1, ml)
     except _Unsupported:
         return None
     return SparseProgram(ops=tuple(b.ops), n_out=b.pos)
