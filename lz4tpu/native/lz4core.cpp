@@ -1107,7 +1107,26 @@ int64_t lz4tpu_emit_quantized(
     const int64_t match_end_cap = end - 5;
     while (p < end) {
         int64_t L = elen[p];
-        if (L >= 4 && p + L <= match_end_cap && eoff[p] > 0) {
+        // Prefix-truncate a match that would run into the 5-byte
+        // end-literal zone (a prefix of a valid match is valid) —
+        // without this, tiny blocks lose their only match entirely.
+        if (L > match_end_cap - p) L = match_end_cap - p;
+        if (L >= 4 && eoff[p] > 0) {
+            // Arithmetic run merge: an adjacent decision at the SAME
+            // offset concatenates into one longer match (two matches
+            // at equal distance over adjacent spans are one match —
+            // still no byte comparison).  The device's log-doubling
+            // only merges power-of-two aligned pairs, so e.g. a
+            // 992-byte run arrives as 512+256+128+64+32; this splices
+            // it into a single token.
+            while (p + L < match_end_cap && elen[p + L] >= 4
+                   && eoff[p + L] == eoff[p]) {
+                int64_t ext = elen[p + L];
+                if (ext > match_end_cap - (p + L))
+                    ext = match_end_cap - (p + L);
+                L += ext;
+                if (ext < elen[p + L - ext]) break;  // truncated: stop
+            }
             const int64_t lit = p - lit_start;
             const int64_t ml = L - 4;
             // token + ext lit lens + literals + offset + ext match len

@@ -269,6 +269,22 @@ class TestDeviceEmission:
             np.frombuffer(comp, np.uint8), buf, len(hist), 0)
         assert bytes(buf[len(hist):end]) == payload
 
+    def test_splice_merges_same_offset_runs(self):
+        """The splice's arithmetic run merge (adjacent decisions at one
+        offset concatenate; prefix-truncation at the end-literal zone)
+        makes pure runs match the search encoder exactly: log-doubling
+        alone leaves a 992-byte run as 512+256+128+64+32 tokens."""
+        from lz4tpu.block import decode_block
+
+        for payload in (bytes(992), bytes(1024), b"\xaa" * 100,
+                        b"ab" * 3000):
+            emit = de.compress_block_device_emit(payload)
+            search = de.compress_block_device(payload)
+            got = decode_block(np.frombuffer(emit, np.uint8),
+                               len(payload))
+            assert bytes(got) == payload
+            assert len(emit) <= len(search)
+
     def test_frame_backend_device_emit(self):
         """Public frame path: compress(backend="device-emit") writes
         standard frames (linked blocks, history across blocks) that
