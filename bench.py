@@ -382,4 +382,15 @@ def main() -> int:
 
 if __name__ == "__main__":
     wait_for_backend()
-    sys.exit(main())
+    try:
+        sys.exit(main())
+    except RuntimeError as e:
+        # Backend died mid-run (tunnel outage): JAX's backend state is
+        # poisoned in-process, so re-exec for a clean retry.
+        attempt = int(os.environ.get("LZ4TPU_BENCH_ATTEMPT", "0"))
+        if "UNAVAILABLE" not in str(e) or attempt >= 2:
+            raise
+        print(f"backend lost mid-run ({e!r}); re-exec attempt "
+              f"{attempt + 1}", file=sys.stderr)
+        os.environ["LZ4TPU_BENCH_ATTEMPT"] = str(attempt + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
