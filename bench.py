@@ -80,19 +80,29 @@ def wait_for_backend(max_wait: float = BACKEND_WAIT_S) -> None:
     attempt = 0
     while True:
         attempt += 1
+        # DEVNULL (a captured pipe held open by a tunnel-client
+        # grandchild blocks the post-kill drain forever) + own session
+        # so the timeout kill reaches the whole probe process group.
+        proc = subprocess.Popen(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+            start_new_session=True,
+        )
         try:
-            r = subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
-                timeout=150,
-                capture_output=True,
-            )
-            if r.returncode == 0:
+            if proc.wait(timeout=150) == 0:
                 if attempt > 1:
                     print("backend up after %d probes" % attempt,
                           file=sys.stderr)
                 return
         except subprocess.TimeoutExpired:
-            pass
+            import signal
+
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except ProcessLookupError:
+                pass
+            proc.wait()
         if time.time() > deadline:
             print("backend still unavailable after %.0fs; proceeding"
                   % max_wait, file=sys.stderr)
