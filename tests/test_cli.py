@@ -146,6 +146,47 @@ def test_bench_encode_host(tmp_path):
     assert "MB/s compressed" in err
 
 
+def test_bench_pipeline_backend(tmp_path):
+    f = tmp_path / "t389.lz4"
+    f.write_bytes((V / "t389.lz4").read_bytes())
+    rc, _out, err = run_cli(
+        ["lz4-bench", str(f), "--backend", "pipeline", "--reps", "1"])
+    assert rc == 0
+    assert "TOTAL" in err
+
+
+def test_bench_sharded_backend(tmp_path):
+    f = tmp_path / "t100k.lz4"
+    f.write_bytes((V / "t100k.lz4").read_bytes())
+    rc, _out, err = run_cli(
+        ["lz4-bench", str(f), "--backend", "sharded", "--reps", "1"])
+    assert rc == 0
+    assert "TOTAL" in err
+
+
+def test_bench_stats_flag(tmp_path):
+    f = tmp_path / "t389.lz4"
+    f.write_bytes((V / "t389.lz4").read_bytes())
+    rc, _out, err = run_cli(
+        ["lz4-bench", str(f), "--backend", "auto", "--reps", "1",
+         "--stats"])
+    assert rc == 0
+    assert "TOTAL" in err
+
+
+def test_compress_flag_combinations():
+    payload = (V / "t389.bin").read_bytes()
+    rc, frame, _err = run_cli(
+        ["lz4-compress", "--content-size", "--block-checksum",
+         "--block-independence", "--block-max-code", "4",
+         "--level", "2"],
+        stdin=payload)
+    assert rc == 0
+    assert lz4tpu.decompress(frame) == payload
+    # content-size FLG bit set
+    assert frame[4] & 0x08
+
+
 def test_hdrinfo_in_process_matches_subprocess_layout():
     """The in-process hdrinfo output equals the golden layout asserted
     in test_parity_edges.py (shared reference: lz4hdrinfo.adb:90-145)."""
