@@ -161,28 +161,62 @@ def _plan_block_fill(ops: tuple, n_out: int):
     n_b = -(-n_out // _FILL_BLK)
     vals = np.zeros(n_b, np.int32)
     covered = np.zeros(n_b, bool)
-    patches: list = []          # (dst, op, rel_lo, n)
-    patch_bytes = 0
-    for op in ops:
-        if op.kind == "self":
-            return None
-        uniform = op.kind == "fill" and len(set(op.pattern)) == 1
+    uniform = [op.kind == "fill" and len(set(op.pattern)) == 1
+               for op in ops]
+    if any(op.kind == "self" for op in ops):
+        return None
+
+    # Pass 1 — block ownership.  A uniform fill owns every block it
+    # fully covers, and CLAIMS a partial head/tail block when its
+    # share of that block is the largest among uniform fills (e.g.
+    # z9m: [copy 1 B | fill 9.4 MB | copy 5 B] — the fill starts 1
+    # byte in, so block 0 is 512Ki-1/512Ki fill; claiming it leaves a
+    # 1-byte patch instead of a 512 KiB one).
+    best_share: dict = {}       # partial block -> (share, op index)
+    for k, op in enumerate(ops):
+        if not uniform[k]:
+            continue
         b_lo = -(-op.dst // _FILL_BLK)
         b_hi = (op.dst + op.n) // _FILL_BLK
-        if uniform and b_hi > b_lo:
+        if b_hi > b_lo:
             vals[b_lo:b_hi] = op.pattern[0]
             covered[b_lo:b_hi] = True
-            for lo, hi in (
-                (op.dst, b_lo * _FILL_BLK),
-                (b_hi * _FILL_BLK, op.dst + op.n),
-            ):
-                if hi > lo:
-                    patches.append((lo, op, lo - op.dst, hi - lo))
-                    patch_bytes += hi - lo
+        b0 = op.dst // _FILL_BLK
+        b1 = (op.dst + op.n - 1) // _FILL_BLK
+        for b in {b0, b1}:
+            lo = max(op.dst, b * _FILL_BLK)
+            hi = min(op.dst + op.n, (b + 1) * _FILL_BLK)
+            if hi - lo in (0, _FILL_BLK):
+                continue            # empty or fully covered above
+            if hi - lo > best_share.get(b, (0, -1))[0]:
+                best_share[b] = (hi - lo, k)
+    owner = {}
+    for b, (share, k) in best_share.items():
+        if not covered[b]:
+            vals[b] = ops[k].pattern[0]
+            covered[b] = True
+            owner[b] = k
+
+    # Pass 2 — patches: every byte not written by its block's fill.
+    # Uniform-fill fragments are broadcast dynamic_update_slices
+    # (compile-time constants, bandwidth-only), so only NON-uniform
+    # patch bytes count against the budget.
+    patches: list = []          # (dst, op, rel_lo, n)
+    patch_bytes = 0
+    for k, op in enumerate(ops):
+        if uniform[k]:
+            b0 = op.dst // _FILL_BLK
+            b1 = (op.dst + op.n - 1) // _FILL_BLK
+            for b in sorted({b0, b1}):
+                lo = max(op.dst, b * _FILL_BLK)
+                hi = min(op.dst + op.n, (b + 1) * _FILL_BLK)
+                if hi - lo in (0, _FILL_BLK) or owner.get(b) == k:
+                    continue
+                patches.append((lo, op, lo - op.dst, hi - lo))
         else:
             patches.append((op.dst, op, 0, op.n))
             patch_bytes += op.n
-    if patch_bytes > max(1 << 16, n_out >> 6):
+    if patch_bytes > max(1 << 16, n_out >> 6) or len(patches) > 1024:
         return None
     if not covered.any():
         # nothing to block-fill: the hole-free concat path is cheaper

@@ -72,6 +72,20 @@ def test_sparse_fill_plan_selectivity():
     assert sum(n for *_x, n in patches) <= sp._FILL_BLK
 
 
+def test_sparse_block_fill_executes():
+    """The block-fill Pallas kernel + patch splice (z9m's production
+    path) execute end-to-end on the CPU mesh, not just at plan time:
+    a zeros-dominated frame runs `_block_fill`, and a two-byte-period
+    frame exercises the non-uniform pattern-tiling patch branch."""
+    zeros = bytes(2_000_000) + b"tail!" * 10
+    frame = compress(zeros, block_max_code=7)
+    assert decompress_device(frame) == zeros
+
+    ab = b"ab" * 700_000
+    frame2 = compress(ab, block_max_code=7)
+    assert decompress_device(frame2) == ab
+
+
 def test_decompress_to_device(vectors_dir):
     """Device-resident decode: output stays a jax.Array in HBM and is
     bit-exact; checksum verification still reference-parity."""
