@@ -36,7 +36,7 @@ from .errors import (
 )
 from .stream import Decompressor, Format
 from .xxh32 import XXHash32, xxh32
-from .api import compress, decompress, decompress_host
+from .api import Compressor, compress, decompress, decompress_host
 
 
 def decompress_to_device(data, reservation=FOR_ALL, **kw):
@@ -64,6 +64,7 @@ __all__ = [
     "Format",
     "XXHash32",
     "xxh32",
+    "Compressor",
     "compress",
     "decompress",
     "decompress_host",

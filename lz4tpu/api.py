@@ -25,7 +25,7 @@ from .constants import (
 )
 from .errors import DataCorruption, Lz4Error
 from .stream import Decompressor
-from .xxh32 import xxh32
+from .xxh32 import XXHash32, xxh32
 
 __all__ = ["decompress", "compress", "decompress_host"]
 
@@ -291,3 +291,101 @@ def compress(
     if content_checksum:
         out += struct.pack("<I", xxh32(data))
     return bytes(out)
+
+
+class Compressor:
+    """Incremental LZ4 frame compressor — the encode-side counterpart
+    of the streaming :class:`~lz4tpu.stream.Decompressor` (the
+    reference is decode-only; its streaming contract is
+    lib/lz4ada.ads:211-287).  Feed chunks with :meth:`update`, close
+    the frame with :meth:`finish`; the concatenated output is
+    bit-identical to :func:`compress` over the whole payload with the
+    same options (pinned by tests/test_api_paths.py).
+
+    ``content_size`` is unsupported by construction (the total length
+    is unknown while streaming), matching the lz4 CLI's streaming
+    mode.  History is linked across blocks unless
+    ``block_independence``.
+    """
+
+    def __init__(
+        self,
+        *,
+        block_max_code: int = 7,
+        content_checksum: bool = True,
+        block_checksum: bool = False,
+        block_independence: bool = False,
+        max_chain: int = 64,
+        level: int = 6,
+    ) -> None:
+        self._block_max = _BLOCK_CODE_SIZE[block_max_code]
+        self._content_checksum = content_checksum
+        self._block_checksum = block_checksum
+        self._block_independence = block_independence
+        self._chain = min(max_chain, 8) if level <= 3 else max_chain
+        self._lazy = level >= 4
+        self._optimal = level >= 10
+        self._buf = bytearray()
+        self._hist = b""
+        self._hasher = XXHash32() if content_checksum else None
+        self._finished = False
+        self._header = struct.pack("<I", MAGIC_MODERN) + _frame_descriptor(
+            None, block_max_code, content_checksum, block_checksum,
+            block_independence,
+        )
+
+    def _emit_block(self, chunk: bytes) -> bytes:
+        from .native import compress_block
+
+        comp = compress_block(
+            chunk, hist=self._hist, max_chain=self._chain,
+            optimal=self._optimal, lazy=self._lazy,
+        )
+        if comp and len(comp) < len(chunk):
+            blk = comp
+            out = struct.pack("<I", len(comp)) + comp
+        else:
+            blk = chunk
+            out = struct.pack("<I", len(chunk) | 0x80000000) + chunk
+        if self._block_checksum:
+            out += struct.pack("<I", xxh32(blk))
+        if not self._block_independence:
+            self._hist = (self._hist + chunk)[-65536:]
+        return out
+
+    def update(self, data) -> bytes:
+        """Feed bytes; returns whatever frame bytes are ready (the
+        header on first call, then every completed block)."""
+        if self._finished:
+            raise ValueError("Compressor already finished")
+        data = bytes(data)
+        out = bytearray()
+        if self._header is not None:
+            out += self._header
+            self._header = None
+        if self._hasher is not None and data:
+            self._hasher.update(data)
+        self._buf += data
+        while len(self._buf) >= self._block_max:
+            chunk = bytes(self._buf[: self._block_max])
+            del self._buf[: self._block_max]
+            out += self._emit_block(chunk)
+        return bytes(out)
+
+    def finish(self) -> bytes:
+        """Flush the final partial block, end mark, and content
+        checksum; the Compressor cannot be used afterwards."""
+        if self._finished:
+            raise ValueError("Compressor already finished")
+        self._finished = True
+        out = bytearray()
+        if self._header is not None:       # empty input: bare frame
+            out += self._header
+            self._header = None
+        if self._buf:
+            out += self._emit_block(bytes(self._buf))
+            self._buf.clear()
+        out += b"\x00\x00\x00\x00"
+        if self._hasher is not None:
+            out += struct.pack("<I", self._hasher.final())
+        return bytes(out)

@@ -33,3 +33,48 @@ def test_backend_device_explicit():
     data = open(f"{V}/t389.lz4", "rb").read()
     ref = open(f"{V}/t389.bin", "rb").read()
     assert lz4tpu.decompress(data, backend="device") == ref
+
+
+class TestStreamingCompressor:
+    """lz4tpu.Compressor: incremental frames bit-identical to the
+    one-shot compress() for the same options."""
+
+    def _stream(self, payload, chunk, **kw):
+        c = lz4tpu.Compressor(**kw)
+        out = bytearray()
+        for i in range(0, len(payload), chunk):
+            out += c.update(payload[i:i + chunk])
+        out += c.finish()
+        return bytes(out)
+
+    def test_matches_one_shot_across_chunkings(self):
+        rng = np.random.default_rng(9)
+        payload = (b"streaming compressor parity " * 9000
+                   + rng.integers(0, 256, 70_000, dtype=np.uint8).tobytes())
+        ref = lz4tpu.compress(payload, block_max_code=4)
+        for chunk in (7, 1000, 65536, 1 << 20):
+            assert self._stream(payload, chunk, block_max_code=4) == ref
+
+    def test_block_checksum_and_independence(self):
+        payload = b"abcdef" * 40_000
+        for kw in (dict(block_checksum=True),
+                   dict(block_independence=True),
+                   dict(content_checksum=False)):
+            ref = lz4tpu.compress(payload, block_max_code=4, **kw)
+            got = self._stream(payload, 12_345, block_max_code=4, **kw)
+            assert got == ref
+            assert lz4tpu.decompress(got) == payload
+
+    def test_empty_input(self):
+        got = self._stream(b"", 1)
+        assert got == lz4tpu.compress(b"")
+        assert lz4tpu.decompress(got) == b""
+
+    def test_finish_is_terminal(self):
+        c = lz4tpu.Compressor()
+        c.update(b"x")
+        c.finish()
+        with pytest.raises(ValueError):
+            c.update(b"y")
+        with pytest.raises(ValueError):
+            c.finish()
