@@ -171,22 +171,44 @@ def cmd_xxhash32(args) -> int:
 
 
 def cmd_compress(args) -> int:
-    """Compress stdin into an LZ4 frame on stdout."""
-    from .api import compress
+    """Compress stdin into an LZ4 frame on stdout.
 
-    data = _read_all_stdin()
-    frame = compress(
-        data,
+    Streams through :class:`lz4tpu.Compressor` in constant memory;
+    ``--content-size`` (total length goes in the header) and
+    ``--legacy`` need the whole input and fall back to one-shot."""
+    if args.content_size or args.legacy:
+        from .api import compress
+
+        frame = compress(
+            _read_all_stdin(),
+            block_max_code=args.block_max_code,
+            content_checksum=not args.no_content_checksum,
+            block_checksum=args.block_checksum,
+            content_size=args.content_size,
+            block_independence=args.block_independence,
+            max_chain=args.max_chain,
+            level=args.level,
+            frame_format="legacy" if args.legacy else "modern",
+        )
+        sys.stdout.buffer.write(frame)
+        sys.stdout.buffer.flush()
+        return 0
+    from .api import Compressor
+
+    c = Compressor(
         block_max_code=args.block_max_code,
         content_checksum=not args.no_content_checksum,
         block_checksum=args.block_checksum,
-        content_size=args.content_size,
         block_independence=args.block_independence,
         max_chain=args.max_chain,
         level=args.level,
-        frame_format="legacy" if args.legacy else "modern",
     )
-    sys.stdout.buffer.write(frame)
+    while True:
+        chunk = sys.stdin.buffer.read(1 << 20)
+        if not chunk:
+            break
+        sys.stdout.buffer.write(c.update(chunk))
+    sys.stdout.buffer.write(c.finish())
     sys.stdout.buffer.flush()
     return 0
 
