@@ -72,6 +72,30 @@ def test_sparse_fill_plan_selectivity():
     assert sum(n for *_x, n in patches) <= sp._FILL_BLK
 
 
+def test_resolver_continue_doubling_deep_chain():
+    """A provenance chain deeper than 2**UNROLL_ITERS forces the
+    resolver's continue_doubling re-entry (the convergence net: the
+    flag is checked, not assumed)."""
+    import jax.numpy as jnp
+
+    from lz4tpu.device import decode as dr
+
+    S = 70_000                      # > 2**16 = one extra round needed
+    comp = jnp.asarray(np.frombuffer(b"Q\x00\x00\x00", np.uint8))
+    out_start = np.arange(S, dtype=np.int32)
+    lit_len = np.zeros(S, np.int32)
+    lit_len[0] = 1                  # byte 0 is the only literal
+    lit_src = np.zeros(S, np.int32)
+    match_off = np.ones(S, np.int32)
+    produces = np.ones(S, bool)
+    out = dr.resolve_sources(
+        comp, jnp.asarray(out_start), jnp.asarray(lit_len),
+        jnp.asarray(lit_src), jnp.asarray(match_off),
+        jnp.asarray(produces), S, S,
+    )
+    assert bytes(out) == b"Q" * S
+
+
 def test_sparse_block_fill_executes():
     """The block-fill Pallas kernel + patch splice (z9m's production
     path) execute end-to-end on the CPU mesh, not just at plan time:
