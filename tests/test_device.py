@@ -109,6 +109,12 @@ def test_sparse_block_fill_executes():
     frame2 = compress(ab, block_max_code=7)
     assert decompress_device(frame2) == ab
 
+    # two uniform fills sharing one 512 KiB block: the larger share
+    # owns the block's fill byte, the loser's fragment is patched
+    two = bytes(600_000) + b"\xff" * 600_000 + b"END!"
+    frame3 = compress(two, block_max_code=7)
+    assert decompress_device(frame3) == two
+
 
 def test_decompress_to_device(vectors_dir):
     """Device-resident decode: output stays a jax.Array in HBM and is
