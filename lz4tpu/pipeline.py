@@ -25,6 +25,7 @@ import numpy as np
 from .constants import FOR_ALL, Reservation
 from .errors import (
     DataCorruption,
+    Lz4Error,
     err_content_size_exceeded,
     err_content_size_leftover,
     err_block_checksum,
@@ -848,6 +849,22 @@ def decompress_to_device(
     fault order; "none" skips checksum verification (frame structure
     and sequence grammar are still fully validated host-side).
     """
+    import jax.numpy as jnp
+
+    try:
+        return _decompress_to_device_batch(
+            data, reservation, interpret, verify)
+    except Lz4Error:
+        # stream-order fault precedence (see decompress_device): the
+        # streaming engine re-derives the diagnostic; if it succeeds
+        # (batch-only structural limitation) stage its bytes instead
+        from .api import decompress_host
+
+        return jnp.asarray(
+            np.frombuffer(decompress_host(data, reservation), np.uint8))
+
+
+def _decompress_to_device_batch(data, reservation, interpret, verify):
     import jax
     import jax.numpy as jnp
 
@@ -903,7 +920,32 @@ def decompress_device(
     routing kernel / segment kernel / resolver — see DecodePlan),
     "pallas" (segment-copy kernel, chain-wise), or "resolve"
     (byte-parallel XLA resolver).
+
+    Fault precedence: the batch pipeline parses the whole frame
+    structure before verifying checksums, so one corruption that
+    creates BOTH an early checksum fault and a later structural fault
+    would surface the wrong one (the reference reports stream order:
+    lz4ada.adb:661-714 verifies each block's trailer as it reaches
+    it).  Any Lz4Error therefore re-derives the diagnostic via the
+    streaming host engine — same contract as decompress_host's
+    batch→streaming fallback.
     """
+    try:
+        return _decompress_device_batch(
+            data, reservation, engine, interpret, stats)
+    except Lz4Error:
+        from .api import decompress_host
+
+        return decompress_host(data, reservation)
+
+
+def _decompress_device_batch(
+    data,
+    reservation: Reservation,
+    engine: str,
+    interpret: bool,
+    stats: DecodeStats | None,
+) -> bytes:
     import time as _time
 
     import jax

@@ -78,3 +78,29 @@ class TestStreamingCompressor:
             c.update(b"y")
         with pytest.raises(ValueError):
             c.finish()
+
+
+def test_fault_precedence_zero_length_block_checksum():
+    """One corruption, two faults: flipping the stored block's size
+    word to 0x80000000 creates a zero-length uncompressed block whose
+    checksum fails IN STREAM ORDER before the (now misaligned) later
+    structure does.  The reference reports the checksum fault
+    (lz4ada.adb:661-714 verifies each block's trailer as it reaches
+    it); the device pipeline must re-derive the same diagnostic
+    instead of surfacing its parse-time structural error."""
+    rng = np.random.default_rng(11)
+    payload = rng.integers(0, 256, 64, dtype=np.uint8).tobytes()
+    frame = lz4tpu.compress(payload, block_max_code=6,
+                            block_checksum=True)
+    assert frame[7:11] == b"\x40\x00\x00\x80"      # stored, 64 bytes
+    bad = bytearray(frame)
+    bad[7] = 0                                     # len 64 -> len 0
+    bad = bytes(bad)
+    outcomes = []
+    for run in (lambda: lz4tpu.decompress_host(bad),
+                lambda: lz4tpu.decompress(bad, backend="device"),
+                lambda: lz4tpu.decompress_to_device(bad)):
+        with pytest.raises(lz4tpu.ChecksumError) as e:
+            run()
+        outcomes.append(str(e.value))
+    assert outcomes[0] == outcomes[1] == outcomes[2]
