@@ -563,16 +563,30 @@ def decompress_sharded(data, mesh: Mesh | None = None, reservation=None) -> byte
 
     Strategy: multiple independent chains shard chain-wise onto the
     full-rate MXU kernel; a single monolithic chain falls back to the
-    span-sharded resolver (local doubling + 64 KiB tail exchange)."""
+    span-sharded resolver (local doubling + 64 KiB tail exchange).
+
+    Fault precedence matches the reference via the same
+    batch->streaming re-derivation as pipeline.decompress_device."""
     from .constants import FOR_ALL
+    from .errors import Lz4Error
+
+    if reservation is None:
+        reservation = FOR_ALL
+    try:
+        return _decompress_sharded_batch(data, mesh, reservation)
+    except Lz4Error:
+        from .api import decompress_host
+
+        return decompress_host(data, reservation)
+
+
+def _decompress_sharded_batch(data, mesh: Mesh | None, reservation) -> bytes:
     from .frame import parse_frames
     from .pipeline import (
         _DENSE_MAX_CHAIN_OUT, BatchCapacityExceeded, _chains_of,
         _verify_checksums, build_seq_table,
     )
 
-    if reservation is None:
-        reservation = FOR_ALL
     if mesh is None:
         mesh = make_mesh()
     buf = np.frombuffer(bytes(data), dtype=np.uint8)
