@@ -88,6 +88,20 @@ def one_round(rng: np.random.Generator, seed: int) -> None:
         except MemoryError:
             d = ("mem",)
         assert h == d, f"fault parity seed={seed} pos={pos}: {h[:2]} vs {d[:2]}"
+    # truncation parity
+    if len(frame) > 8:
+        cut = int(rng.integers(1, len(frame)))
+        t = frame[:cut]
+        try:
+            h = ("ok", lz4tpu.decompress_host(t))
+        except Lz4Error as e:
+            h = ("err", type(e).__name__, str(e))
+        try:
+            d = ("ok", lz4tpu.decompress(t, backend="device"))
+        except Lz4Error as e:
+            d = ("err", type(e).__name__, str(e))
+        assert h == d, f"truncation parity seed={seed} cut={cut}: " \
+                       f"{h[:2]} vs {d[:2]}"
 
 
 def main() -> int:
