@@ -1,6 +1,33 @@
 """Benchmark: LZ4 decode throughput per chip on the reference's large
 vectors (z9m.lz4 + t1111k.lz4 + b3444k.lz4), per driver BASELINE.json.
 
+Robustness contract (round-4: round 3's number was LOST to a tunnel
+outage — BENCH_r03.json recorded rc=124 and no JSON line)
+----------------------------------------------------------------------
+``python bench.py`` runs a SUPERVISOR that never imports jax and always
+prints exactly one JSON line, then exits 0:
+
+* it spawns the measurement CHILD (``bench.py --child``) in its own
+  process group with an absolute wall-clock deadline
+  (``LZ4TPU_BENCH_DEADLINE`` seconds overall, default 780 — chosen to
+  sit well under the driver's kill timeout);
+* the child persists a JSONL event per completed vector as it goes and
+  budgets every phase (backend wait, slope attempts, sustained section)
+  against its share of the deadline;
+* on child success the supervisor prints the child's complete payload;
+* on deadline, child crash, or an external SIGTERM/SIGINT (the driver's
+  ``timeout`` sends SIGTERM first) the supervisor kills the child group
+  and prints a PARTIAL payload aggregated over whichever vectors
+  finished, flagged ``"incomplete": true`` with a ``note``;
+* if nothing finished at all it falls back to the last complete run's
+  committed payload (BENCH_CACHE.json) flagged ``"stale_cache": true``
+  and ``"measured_this_run": false`` — a labeled stale number instead of
+  silence — or a zero-value line if no cache exists.
+
+``vs_target`` (value / 3.0 GB/s, the BASELINE.md per-chip north star)
+rides alongside ``vs_baseline`` on every path so an above-Ada aggregate
+can never read as "done" while the named vectors miss the target.
+
 Accounting (round-2: the round-1 verdict required the timed region to
 start right after the token scan, with all provenance work inside it)
 ---------------------------------------------------------------------
@@ -41,6 +68,16 @@ mode — BASELINE.md) decodes zeros at 2094 MiB/s, text at 1099 MiB/s,
 and random at 1109 MiB/s.  The aggregate reference rate over this
 corpus is total_bytes / sum(size_i / rate_i); vs_baseline is our
 aggregate over it.
+
+Sustained (pipelined) numbers: in the DecodeSession deployment shape
+the prep thread preps request N+1 while the device decodes request N,
+so the steady-state rate is min(host-stage rate, device rate).  The
+host stage is the serial resource on this one-core box; it
+parallelizes across chains/substep ranges on multi-core hosts
+(LZ4TPU_PACK_THREADS — the partitioning is pinned by
+tests/test_prep_threads.py, which instruments the native phase
+counters; the modeled N-core bound printed here is serial_floor /
+min(N, chains)).
 """
 
 from __future__ import annotations
@@ -49,7 +86,10 @@ import functools
 import json
 import os
 import pathlib
+import signal
+import subprocess
 import sys
+import tempfile
 import time
 
 import numpy as np
@@ -59,23 +99,226 @@ VECTOR_DIR = pathlib.Path(
 )
 VECTORS = ["z9m", "t1111k", "b3444k"]
 REF_MIBS = {"z9m": 2094.0, "t1111k": 1099.0, "b3444k": 1109.0}
+TARGET_GBPS = 3.0          # BASELINE.md: >= 3 GB/s/chip on z9m/t1111k
 REPS = int(os.environ.get("LZ4TPU_BENCH_REPS", "6"))
 SUSTAINED_ROUNDS = int(os.environ.get("LZ4TPU_BENCH_SUSTAINED", "24"))
-# The dev tunnel's TPU backend has transient outages (minutes).  Wait
-# for it to come back before starting the timed run so one outage
-# doesn't turn the recorded benchmark into an import error.
-BACKEND_WAIT_S = float(os.environ.get("LZ4TPU_BENCH_BACKEND_WAIT", "900"))
+# Overall wall budget for the WHOLE benchmark (supervisor-enforced).
+DEADLINE_S = float(os.environ.get("LZ4TPU_BENCH_DEADLINE", "780"))
+# The dev tunnel's TPU backend has transient outages (minutes to
+# hours).  The child waits for it within its budget; the supervisor's
+# deadline guarantees a JSON line lands regardless.
+BACKEND_WAIT_S = float(os.environ.get("LZ4TPU_BENCH_BACKEND_WAIT", "600"))
+REPO = pathlib.Path(__file__).resolve().parent
+CACHE_PATH = pathlib.Path(
+    os.environ.get("LZ4TPU_BENCH_CACHE", str(REPO / "BENCH_CACHE.json"))
+)
+METRIC = "lz4_decode_post_scan_z9m_t1111k_b3444k"
 
 
-def wait_for_backend(max_wait: float = BACKEND_WAIT_S) -> None:
+# ---------------------------------------------------------------------------
+# payload math (shared by the child's final line and the supervisor's
+# partial/fallback lines)
+# ---------------------------------------------------------------------------
+
+def compose_payload(vectors, sustained=None):
+    """Aggregate per-vector results into the driver JSON payload.
+
+    ``vectors``: dicts with name, n_out, t_prep_ms, t_dev_ms (only
+    completed vectors).  Aggregate rate = total bytes / total time over
+    the vectors present; vs_baseline uses the same subset of the
+    reference per-corpus rates so a partial run stays apples-to-apples.
+    """
+    total_bytes = sum(v["n_out"] for v in vectors)
+    agg_t = sum(v["t_prep_ms"] + v["t_dev_ms"] for v in vectors) / 1e3
+    t_ref = sum(
+        v["n_out"] / (REF_MIBS[v["name"]] * 1024 * 1024) for v in vectors
+    )
+    gbps = total_bytes / agg_t / 1e9 if agg_t > 0 else 0.0
+    ref_gbps = total_bytes / t_ref / 1e9 if t_ref > 0 else 1.0
+    payload = {
+        "metric": METRIC,
+        "value": round(gbps, 4),
+        "unit": "GB/s/chip",
+        "vs_baseline": round(gbps / ref_gbps, 4) if ref_gbps else 0.0,
+        "vs_target": round(gbps / TARGET_GBPS, 4),
+    }
+    if sustained:
+        h, e = sustained
+        payload["sustained_hostbound_gbps"] = round(h, 4)
+        payload["sustained_hostbound_vs_baseline"] = round(
+            h / ref_gbps, 4)
+        payload["sustained_tunnel_e2e_gbps"] = round(e, 4)
+    return payload
+
+
+def _read_events(path):
+    events = []
+    try:
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    try:
+                        events.append(json.loads(line))
+                    except json.JSONDecodeError:
+                        pass    # torn final write
+    except OSError:
+        pass
+    return events
+
+
+def _partial_payload(events, note):
+    # dedup by name, keeping the LAST measurement (a mid-run re-exec
+    # after a tunnel outage re-measures vectors into the same file)
+    by_name = {}
+    for e in events:
+        if e.get("event") == "vector":
+            by_name[e["name"]] = e
+    vectors = [by_name[n] for n in VECTORS if n in by_name]
+    final = [e for e in events if e.get("event") == "final"]
+    if final:
+        payload = dict(final[0]["payload"])
+        payload["incomplete"] = True
+        payload["note"] = note
+        return payload
+    if vectors:
+        sustained = None
+        for e in events:
+            if e.get("event") == "sustained":
+                sustained = (e["hostbound_gbps"], e["e2e_gbps"])
+        payload = compose_payload(vectors, sustained)
+        payload["incomplete"] = True
+        payload["vectors_measured"] = [v["name"] for v in vectors]
+        payload["note"] = note
+        return payload
+    # nothing measured: labeled stale cache beats silence
+    try:
+        cached = json.loads(CACHE_PATH.read_text())
+    except (OSError, json.JSONDecodeError):
+        cached = None
+    if cached and "value" in cached:
+        payload = dict(cached)
+        payload["incomplete"] = True
+        payload["stale_cache"] = True
+        payload["measured_this_run"] = False
+        payload["note"] = note
+        return payload
+    return {
+        "metric": METRIC, "value": 0.0, "unit": "GB/s/chip",
+        "vs_baseline": 0.0, "vs_target": 0.0,
+        "incomplete": True, "measured_this_run": False, "note": note,
+    }
+
+
+# ---------------------------------------------------------------------------
+# supervisor: deadline + signal safety, exactly one stdout JSON line
+# ---------------------------------------------------------------------------
+
+def supervise() -> int:
+    t0 = time.time()
+    deadline = t0 + DEADLINE_S
+    # seconds kept to compose + print (scaled down for short test
+    # deadlines so the child still gets a slice of a tiny budget)
+    reserve = min(10.0, max(0.5, DEADLINE_S / 6.0))
+    fd, progress = tempfile.mkstemp(prefix="lz4tpu_bench_", suffix=".jsonl")
+    os.close(fd)
+    child_log = progress + ".childlog"
+    env = dict(os.environ)
+    env["LZ4TPU_BENCH_CHILD_DEADLINE"] = str(deadline - reserve)
+    # child stdout -> log file (the ONE stdout JSON line is ours);
+    # stderr inherited so progress remains visible in driver tails
+    child = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--child", progress],
+        stdout=open(child_log, "w"),
+        env=env,
+        start_new_session=True,
+    )
+
+    done = {"emitted": False}
+
+    def emit_and_exit(payload, rc=0):
+        if not done["emitted"]:
+            done["emitted"] = True
+            print(json.dumps(payload), flush=True)
+        try:
+            os.killpg(child.pid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            pass
+        os._exit(rc)
+
+    def on_signal(signum, _frame):
+        note = f"killed by signal {signum} after {time.time()-t0:.0f}s"
+        print(f"bench supervisor: {note}; emitting partial payload",
+              file=sys.stderr)
+        emit_and_exit(_partial_payload(_read_events(progress), note))
+
+    signal.signal(signal.SIGTERM, on_signal)
+    signal.signal(signal.SIGINT, on_signal)
+
+    rc = None
+    while True:
+        remaining = (deadline - reserve) - time.time()
+        if remaining <= 0:
+            note = f"deadline ({DEADLINE_S:.0f}s) reached; child killed"
+            print(f"bench supervisor: {note}", file=sys.stderr)
+            emit_and_exit(_partial_payload(_read_events(progress), note))
+        try:
+            rc = child.wait(timeout=min(2.0, remaining))
+            break
+        except subprocess.TimeoutExpired:
+            continue
+
+    events = _read_events(progress)
+    final = [e for e in events if e.get("event") == "final"]
+    if rc == 0 and final:
+        payload = final[0]["payload"]
+        print(json.dumps(payload), flush=True)
+        if not payload.get("incomplete"):
+            try:
+                cache = dict(payload)
+                cache["cached_at"] = time.strftime(
+                    "%Y-%m-%dT%H:%M:%S%z")
+                CACHE_PATH.write_text(json.dumps(cache, indent=1) + "\n")
+            except OSError:
+                pass
+        return 0
+    note = f"child exited rc={rc} without a final payload"
+    print(f"bench supervisor: {note}", file=sys.stderr)
+    emit_and_exit(_partial_payload(events, note))
+    return 0    # unreachable
+
+
+# ---------------------------------------------------------------------------
+# child: the actual measurement (event-sourced, budget-aware)
+# ---------------------------------------------------------------------------
+
+class _Progress:
+    def __init__(self, path):
+        self.f = open(path, "a", buffering=1)
+
+    def emit(self, **obj):
+        self.f.write(json.dumps(obj) + "\n")
+        self.f.flush()
+        os.fsync(self.f.fileno())
+
+
+def _child_deadline() -> float:
+    return float(os.environ.get(
+        "LZ4TPU_BENCH_CHILD_DEADLINE", time.time() + DEADLINE_S))
+
+
+def _remaining() -> float:
+    return _child_deadline() - time.time()
+
+
+def wait_for_backend(max_wait: float | None = None) -> None:
     """Block until a JAX backend initializes in a probe subprocess.
 
     The probe runs in a child so a failed init is never cached in this
-    process's xla_bridge state.  Gives up (and lets main() surface the
-    real error) after ``max_wait`` seconds.
-    """
-    import subprocess
-
+    process's xla_bridge state.  Bounded by both BACKEND_WAIT_S and the
+    child deadline (minus a margin for the measurement itself)."""
+    if max_wait is None:
+        max_wait = min(BACKEND_WAIT_S, max(0.0, _remaining() - 120.0))
     deadline = time.time() + max_wait
     attempt = 0
     while True:
@@ -90,14 +333,13 @@ def wait_for_backend(max_wait: float = BACKEND_WAIT_S) -> None:
             start_new_session=True,
         )
         try:
-            if proc.wait(timeout=150) == 0:
+            probe_budget = min(120.0, max(5.0, deadline - time.time()))
+            if proc.wait(timeout=probe_budget) == 0:
                 if attempt > 1:
                     print("backend up after %d probes" % attempt,
                           file=sys.stderr)
                 return
         except subprocess.TimeoutExpired:
-            import signal
-
             try:
                 os.killpg(proc.pid, signal.SIGKILL)
             except ProcessLookupError:
@@ -115,21 +357,12 @@ def wait_for_backend(max_wait: float = BACKEND_WAIT_S) -> None:
 def bench_sustained(datas, sync_probe):
     """Steady-state pipelined throughput (serve.DecodeSession shape).
 
-    In the deployment shape the prep thread preps request N+1 while
-    the device decodes request N, so the steady-state rate is set by
-    the SLOWER stage.  Two numbers, both printed:
-
-    * host-stage bound — measured serial host time per corpus round
-      (frame parse + token scan + plan + fused prep; NOTHING excluded
-      on the host side).  On production hardware the device stage
-      (0.5-3 ms/request here) plus PCIe staging (~1 ms at 10 GB/s for
-      the largest request) hides entirely behind this single-core
-      stage, so this is the pipeline's sustained rate per host core.
-    * measured end-to-end through DecodeSession on THIS box — recorded
-      honestly but dominated by the dev tunnel (~20 MB/s host->device
-      staging, ~8 MB shipped per corpus round), which production PCIe
-      replaces; the gap between the two numbers is that link.
-    """
+    Two numbers, both printed (see module docstring): the measured
+    serial host-stage bound (the pipeline's sustained rate per host
+    core — the device stage hides behind it on production hardware)
+    and the end-to-end rate through THIS box's ~20 MB/s dev tunnel.
+    Also prints the modeled N-core host-stage bound (the partitioning
+    it assumes is pinned by tests/test_prep_threads.py)."""
     from lz4tpu import FOR_ALL, decompress_host
     from lz4tpu.frame import parse_frames
     from lz4tpu.pipeline import build_seq_table, plan_decode
@@ -145,6 +378,8 @@ def bench_sustained(datas, sync_probe):
                                     pooled_cols=True)
             plan_decode(buf, parsed, table)
     rounds = max(5, SUSTAINED_ROUNDS // 4)
+    if _remaining() < 120:
+        rounds = max(3, rounds // 2)
     per_round = []
     for _ in range(rounds):
         t0 = time.time()
@@ -160,7 +395,9 @@ def bench_sustained(datas, sync_probe):
     host_gbps = total / host_dt / 1e9
     print(
         f"sustained host-stage bound (parse+scan+plan+prep, 1 core): "
-        f"{host_gbps:.3f} GB/s ({host_dt * 1e3:.1f} ms/corpus round)",
+        f"{host_gbps:.3f} GB/s ({host_dt * 1e3:.1f} ms/corpus round); "
+        f"modeled multi-core bound (test-pinned partitioning): "
+        f"2 cores {2 * host_gbps:.2f}, 4 cores {4 * host_gbps:.2f} GB/s",
         file=sys.stderr,
     )
 
@@ -189,7 +426,35 @@ def bench_sustained(datas, sync_probe):
     return host_gbps, e2e_gbps
 
 
-def main() -> int:
+def _fake_child(progress: _Progress) -> int:
+    """Test hook (LZ4TPU_BENCH_FAKE=1): exercise the supervisor's
+    event plumbing without a backend.  Emits synthetic vector events
+    with configurable pacing, then optionally hangs."""
+    delay = float(os.environ.get("LZ4TPU_BENCH_FAKE_DELAY", "0"))
+    hang_after = os.environ.get("LZ4TPU_BENCH_FAKE_HANG_AFTER")
+    fake_n = {"z9m": 9437166, "t1111k": 1111000, "b3444k": 3444000}
+    vectors = []
+    for name in VECTORS:
+        time.sleep(delay)
+        v = dict(event="vector", name=name, n_out=fake_n[name],
+                 t_prep_ms=1.0, t_dev_ms=1.0)
+        progress.emit(**v)
+        vectors.append(v)
+        if hang_after == name:
+            time.sleep(1e6)
+    payload = compose_payload(vectors)
+    progress.emit(event="final", payload=payload)
+    print(json.dumps(payload))
+    return 0
+
+
+def child_main(progress_path: str) -> int:
+    progress = _Progress(progress_path)
+    if os.environ.get("LZ4TPU_BENCH_FAKE") == "1":
+        return _fake_child(progress)
+
+    wait_for_backend()
+
     import jax
     import jax.numpy as jnp
 
@@ -205,15 +470,16 @@ def main() -> int:
         return int(jax.device_get(jnp.sum(x.ravel()[:1].astype(jnp.int32))))
 
     per_vec = []
-    total_bytes = 0
-    t_ref_total = 0.0
-    agg_total_t = 0.0
     for name in VECTORS:
+        if _remaining() < 45:
+            print(f"{name}: skipped ({_remaining():.0f}s left)",
+                  file=sys.stderr)
+            continue
         data = (VECTOR_DIR / f"{name}.lz4").read_bytes()
         buf = np.frombuffer(data, dtype=np.uint8)
         parsed = parse_frames(buf, FOR_ALL)
         table = build_seq_table(buf, parsed, FOR_ALL, data,
-                                    pooled_cols=True)
+                                pooled_cols=True)
         n_out = table.n_out
 
         # ---- timed host stage: plan + fused/sparse prep -------------
@@ -327,20 +593,26 @@ def main() -> int:
 
         timed(2)
         timed(REPS)
+        # full protocol when time allows; a reduced one (fewer settle
+        # iterations, 3 slopes, 1 attempt) when the deadline looms
+        tight = _remaining() < 150
+        attempts = 1 if tight else 3
+        n_slopes = 3 if tight else 5
+        settle_iters = 3 if tight else 10
         t_dev = None
-        for _attempt in range(3):
+        for _attempt in range(attempts):
             t_prev = timed(REPS)
-            for _ in range(10):
+            for _ in range(settle_iters):
                 t_now = timed(REPS)
                 if t_now >= t_prev * 0.97:
                     break
                 t_prev = t_now
             slopes = []
-            for _ in range(5):
+            for _ in range(n_slopes):
                 t_small = timed(REPS)
                 t_big = timed(4 * REPS)
                 slopes.append((t_big - t_small) / (3 * REPS))
-            t_dev = sorted(slopes)[2]
+            t_dev = sorted(slopes)[len(slopes) // 2]
             # the tunnel chip's clock can RAMP mid-measurement and turn
             # a slope negative/absurd; re-run the whole phase until the
             # estimate is sane (positive and not faster than 1 us)
@@ -352,15 +624,15 @@ def main() -> int:
                   file=sys.stderr)
 
         t_total = t_prep + t_dev
-        total_bytes += n_out
-        agg_total_t += t_total
-        t_ref_total += n_out / (REF_MIBS[name] * 1024 * 1024)
-        per_vec.append(dict(
-            name=name, n_out=n_out, t_prep_ms=t_prep * 1e3,
-            t_dev_ms=t_dev * 1e3, gbps=n_out / t_total / 1e9,
+        v = dict(
+            event="vector", name=name, n_out=n_out,
+            t_prep_ms=t_prep * 1e3, t_dev_ms=t_dev * 1e3,
+            gbps=n_out / t_total / 1e9,
             gbps_dev=n_out / t_dev / 1e9,
             shipped_mb=shipped / 1e6,
-        ))
+        )
+        per_vec.append(v)
+        progress.emit(**v)
         print(
             f"{name}: {n_out} B  prep {t_prep*1e3:.2f} ms + device "
             f"{t_dev*1e3:.2f} ms -> {n_out/t_total/1e9:.3f} GB/s "
@@ -369,38 +641,47 @@ def main() -> int:
             file=sys.stderr,
         )
 
-    gbps = total_bytes / agg_total_t / 1e9
-    ref_gbps = total_bytes / t_ref_total / 1e9
-    datas = [(VECTOR_DIR / f"{n}.lz4").read_bytes() for n in VECTORS]
-    sustained_host, sustained_e2e = bench_sustained(datas, sync_probe)
-    print(
-        json.dumps(
-            {
-                "metric": "lz4_decode_post_scan_z9m_t1111k_b3444k",
-                "value": round(gbps, 4),
-                "unit": "GB/s/chip",
-                "vs_baseline": round(gbps / ref_gbps, 4),
-                "sustained_hostbound_gbps": round(sustained_host, 4),
-                "sustained_hostbound_vs_baseline": round(
-                    sustained_host / ref_gbps, 4),
-                "sustained_tunnel_e2e_gbps": round(sustained_e2e, 4),
-            }
-        )
-    )
+    sustained = None
+    if per_vec and len(per_vec) == len(VECTORS) and _remaining() > 60:
+        datas = [(VECTOR_DIR / f"{n}.lz4").read_bytes() for n in VECTORS]
+        sustained = bench_sustained(datas, sync_probe)
+        progress.emit(event="sustained", hostbound_gbps=sustained[0],
+                      e2e_gbps=sustained[1])
+    elif per_vec:
+        print("sustained section skipped (deadline)", file=sys.stderr)
+
+    if not per_vec:
+        print("no vector finished within budget", file=sys.stderr)
+        return 3
+    payload = compose_payload(per_vec, sustained)
+    if len(per_vec) != len(VECTORS):
+        payload["incomplete"] = True
+        payload["vectors_measured"] = [v["name"] for v in per_vec]
+        payload["note"] = "deadline: subset of vectors measured"
+    progress.emit(event="final", payload=payload)
+    print(json.dumps(payload))
     return 0
 
 
-if __name__ == "__main__":
-    wait_for_backend()
+def _child_entry(progress_path: str) -> int:
     try:
-        sys.exit(main())
+        return child_main(progress_path)
     except RuntimeError as e:
         # Backend died mid-run (tunnel outage): JAX's backend state is
-        # poisoned in-process, so re-exec for a clean retry.
+        # poisoned in-process, so re-exec for a clean retry.  Per-vector
+        # progress persists across the re-exec (append mode), so the
+        # supervisor's partial payload survives even a failed retry.
         attempt = int(os.environ.get("LZ4TPU_BENCH_ATTEMPT", "0"))
-        if "UNAVAILABLE" not in str(e) or attempt >= 2:
+        if "UNAVAILABLE" not in str(e) or attempt >= 2 \
+                or _remaining() < 90:
             raise
         print(f"backend lost mid-run ({e!r}); re-exec attempt "
               f"{attempt + 1}", file=sys.stderr)
         os.environ["LZ4TPU_BENCH_ATTEMPT"] = str(attempt + 1)
         os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) >= 3 and sys.argv[1] == "--child":
+        sys.exit(_child_entry(sys.argv[2]))
+    sys.exit(supervise())
