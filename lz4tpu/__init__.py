@@ -36,7 +36,14 @@ from .errors import (
 )
 from .stream import Decompressor, Format
 from .xxh32 import XXHash32, xxh32
-from .api import Compressor, compress, decompress, decompress_host
+from .api import (
+    Compressor,
+    compress,
+    decompress,
+    decompress_host,
+    decompress_into,
+    min_buffer_size,
+)
 
 
 def decompress_to_device(data, reservation=FOR_ALL, **kw):

@@ -27,7 +27,83 @@ from .errors import DataCorruption, Lz4Error
 from .stream import Decompressor
 from .xxh32 import XXHash32, xxh32
 
-__all__ = ["decompress", "compress", "decompress_host"]
+__all__ = ["decompress", "compress", "decompress_host",
+           "decompress_into", "min_buffer_size"]
+
+
+def min_buffer_size(reservation: Reservation = FOR_ALL) -> int:
+    """Minimum caller-buffer size for the caller-owned-buffer APIs.
+
+    The reference's ``Init`` reports this as its ``Min_Buffer_Size``
+    out-parameter (lz4ada.ads:189-220): one maximum block plus the
+    64 KiB history window plus slack.  A buffer of this size passed to
+    :meth:`Decompressor.update_into` doubles as the history window, so
+    decoding allocates nothing per call."""
+    from .constants import HISTORY_SIZE, block_size_of
+
+    reservation = Reservation(reservation)
+    if not reservation.is_concrete:
+        reservation = FOR_ALL    # sized from the first header later;
+        # FOR_ALL is the safe upper bound the reference also reports
+    return block_size_of(reservation) + HISTORY_SIZE + 8
+
+
+def decompress_into(data, dst, reservation: Reservation = FOR_ALL) -> int:
+    """Decode a whole buffer into caller-owned storage; returns the
+    decoded byte count.
+
+    ``dst`` is a writable byte buffer (numpy uint8 array, bytearray, or
+    writable memoryview) large enough for the full decoded output —
+    the one-shot analog of the reference's caller-supplied-buffer
+    ``Update`` (lz4ada.ads:189-220; the incremental analog with exact
+    history-window semantics is :meth:`Decompressor.update_into`).
+    Output lands in ``dst[:n]``; no output-sized allocation is made
+    (the engine's 64 KiB-window ring is the only scratch).
+
+    Raises ``ValueError`` when ``dst`` fills before the stream ends
+    (``dst`` contents beyond the last complete block are unspecified),
+    plus the usual ``Lz4Error`` taxonomy for malformed input."""
+    if isinstance(dst, np.ndarray):
+        if dst.dtype != np.uint8 or dst.ndim != 1:
+            raise ValueError("dst must be a 1-D uint8 array")
+        view = dst
+    else:
+        mv = memoryview(dst)
+        if mv.readonly:
+            raise ValueError("dst must be writable")
+        view = np.frombuffer(mv, dtype=np.uint8)
+    arr = np.frombuffer(bytes(data), dtype=np.uint8)
+    if arr.size == 0:
+        return 0
+    reservation = Reservation(reservation)
+    if reservation.is_concrete:
+        ctx = Decompressor(reservation)
+        pos = 0
+    else:
+        ctx, pos = Decompressor.from_header(arr, reservation)
+    n = 0
+    stall = 0
+    while pos < arr.size:
+        consumed, chunk = ctx.update(arr[pos:])
+        if chunk:
+            if n + len(chunk) > view.size:
+                raise ValueError(
+                    f"dst too small: decoded output exceeds "
+                    f"{view.size} bytes"
+                )
+            view[n:n + len(chunk)] = np.frombuffer(chunk, np.uint8)
+            n += len(chunk)
+        pos += consumed
+        if consumed == 0:
+            stall += 1
+            if stall > 4:
+                raise DataCorruption(
+                    "Decoder made no progress; corrupt input.")
+        else:
+            stall = 0
+    if ctx.end_of_frame == EndOfFrame.NO:
+        raise DataCorruption("Input ended in the middle of a frame.")
+    return n
 
 
 def _decompress_host_batch(arr: np.ndarray, reservation) -> bytes:

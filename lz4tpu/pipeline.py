@@ -19,6 +19,7 @@ byte-identical to the reference's.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import numpy as np
 
@@ -829,6 +830,7 @@ def decompress_to_device(
     reservation: Reservation = FOR_ALL,
     interpret: bool = False,
     verify: str = "host",
+    out=None,
 ):
     """Decode a whole buffer and leave the output in device HBM.
 
@@ -848,11 +850,21 @@ def decompress_to_device(
     lane states and sub-stripe tails), frame by frame in reference
     fault order; "none" skips checksum verification (frame structure
     and sequence grammar are still fully validated host-side).
+
+    out: optional caller-provided device uint8 array (the device
+    analog of the reference's caller-supplied output buffer,
+    lz4ada.ads:189-220).  Its HBM storage is DONATED: the decoded
+    bytes are written into that storage via a donated
+    dynamic-update-slice (JAX arrays are immutable, so donation is the
+    idiomatic zero-extra-allocation write-into), the caller's handle
+    is invalidated, and the returned array — same shape as ``out``,
+    decoded bytes at [0:n], remaining tail preserved — reuses it.
+    Raises ``ValueError`` if ``out`` is too small or not uint8.
     """
     import jax.numpy as jnp
 
     try:
-        return _decompress_to_device_batch(
+        res = _decompress_to_device_batch(
             data, reservation, interpret, verify)
     except Lz4Error:
         # stream-order fault precedence (see decompress_device): the
@@ -860,8 +872,31 @@ def decompress_to_device(
         # (batch-only structural limitation) stage its bytes instead
         from .api import decompress_host
 
-        return jnp.asarray(
+        res = jnp.asarray(
             np.frombuffer(decompress_host(data, reservation), np.uint8))
+    if out is None:
+        return res
+    return _write_into_donated(res, out)
+
+
+def _write_into_donated(res, out):
+    """Write decoded bytes into a donated caller device array."""
+    import jax
+    import jax.numpy as jnp
+
+    if out.dtype != jnp.uint8 or out.ndim != 1:
+        raise ValueError("out must be a 1-D uint8 device array")
+    if out.shape[0] < res.shape[0]:
+        raise ValueError(
+            f"out too small: {out.shape[0]} < {res.shape[0]} decoded "
+            "bytes"
+        )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def _into(dst, src):
+        return jax.lax.dynamic_update_slice(dst, src, (0,))
+
+    return _into(out, res)
 
 
 def _decompress_to_device_batch(data, reservation, interpret, verify):

@@ -55,6 +55,7 @@ from .constants import (
     reservation_for_bd_code,
 )
 from .errors import (
+    TooLittleMemory,
     err_backref_out_of_range,  # noqa: F401  (re-export convenience)
     err_bad_magic,
     err_bad_version,
@@ -240,13 +241,62 @@ class Decompressor:
         the unconsumed tail, exactly like the reference contract
         (reference: README.md:462-481).
         """
+        consumed, out_first, out_last = self._update_spans(data)
+        if out_last >= out_first:
+            return consumed, self._buffer[out_first:out_last + 1].tobytes()
+        return consumed, b""
+
+    def update_into(self, data, buffer) -> tuple[int, int, int]:
+        """Caller-owned-buffer Update (reference: lz4ada.ads:189-220).
+
+        ``buffer`` is a writable byte buffer (numpy uint8 array,
+        bytearray, or writable memoryview) of at least
+        :attr:`min_buffer_size` bytes, supplied on EVERY call exactly
+        like the reference's ``Buffer: in out`` parameter.  Output is
+        written into it in place and ``(num_consumed, output_first,
+        output_last)`` is returned — an INCLUSIVE index pair like the
+        reference's ``Output_First/Output_Last`` (empty output when
+        ``output_last < output_first``).  The buffer doubles as the
+        64 KiB history window: its contents must not be modified
+        between calls, and no copy of the output is made.
+
+        Raises :class:`TooLittleMemory` when the buffer is smaller than
+        ``min_buffer_size`` (the reference gets this check for free
+        from Ada array bounds)."""
+        if isinstance(buffer, np.ndarray):
+            if buffer.dtype != np.uint8 or buffer.ndim != 1:
+                raise ValueError("buffer must be a 1-D uint8 array")
+            view = buffer
+        else:
+            mv = memoryview(buffer)
+            if mv.readonly:
+                raise ValueError("buffer must be writable")
+            view = np.frombuffer(mv, dtype=np.uint8)
+        if view.size < self.min_buffer_size:
+            # Python-surface check; the reference gets it from Ada
+            # array bounds, so there is no .eds message to match.
+            raise TooLittleMemory(
+                f"caller buffer of {view.size} bytes is below "
+                f"min_buffer_size {self.min_buffer_size}"
+            )
+        prev, self._buffer = self._buffer, view
+        try:
+            consumed, out_first, out_last = self._update_spans(data)
+        except BaseException:
+            self._buffer = prev
+            raise
+        # keep reading history from the caller's buffer on the internal
+        # paths too (update() after update_into() sees the same state)
+        return consumed, out_first, out_last
+
+    def _update_spans(self, data) -> tuple[int, int, int]:
         arr = (
             data
             if isinstance(data, np.ndarray) and data.dtype == np.uint8
             else np.frombuffer(bytes(data), dtype=np.uint8)
         )
         if arr.size == 0:
-            return 0, b""
+            return 0, 1, 0
         out_first, out_last = 1, 0
         if self._hstate != _HState.COMPLETE:
             consumed = self._process_header_bytes(arr)
@@ -264,9 +314,7 @@ class Decompressor:
                 consumed, out_first, out_last = self._handle_new_length(
                     arr, consumed
                 )
-        if out_last >= out_first:
-            return consumed, self._buffer[out_first:out_last + 1].tobytes()
-        return consumed, b""
+        return consumed, out_first, out_last
 
     # -- header FSM --------------------------------------------------------
 
