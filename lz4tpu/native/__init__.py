@@ -117,6 +117,8 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         c.c_int64, i64p, i64p, i64p, i64p,        # cap, total, reach,
                                                   # n_lit, max_off
     ]
+    lib.lz4tpu_prep_last_ranges.restype = c.c_int64
+    lib.lz4tpu_prep_last_ranges.argtypes = [i64p, c.c_int64]
     lib.lz4tpu_prep_fused_pre.restype = c.c_int32
     lib.lz4tpu_prep_fused_pre.argtypes = [
         i32p, i32p, i32p, i32p, c.c_int64,       # ll, ml, mo, ls, S
@@ -273,6 +275,23 @@ def scan_sequences(
         out_start[:n], lit_len[:n], lit_src[:n], match_len[:n],
         match_off[:n], int(total.value), int(reach.value),
     )
+
+
+def prep_last_ranges() -> np.ndarray:
+    """Per-range instrumentation of the LAST lz4tpu_prep_fused[_pre]
+    call: (n, 4) int64 rows [sub_lo, sub_hi, n_records, n_patches].
+
+    Rows are recorded only while LZ4TPU_PREP_COUNTERS=1 (a test hook:
+    tests/test_prep_threads.py pins that the threaded prep's range
+    partitioning genuinely divides the serial loop — phase counters,
+    not wall time, per the one-core box's measurement rules).  The
+    serial pass records a single row spanning every substep."""
+    c = ctypes
+    buf = np.zeros((256, 4), np.int64)
+    n = _get().lz4tpu_prep_last_ranges(
+        buf.ctypes.data_as(c.POINTER(c.c_int64)), 256
+    )
+    return buf[:n]
 
 
 def pack_threads() -> int:
