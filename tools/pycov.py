@@ -32,6 +32,8 @@ if REPO not in sys.path:
 hit: dict[str, set[int]] = {}
 # (filename, code id, branch offset) -> set of observed destinations
 bsites: dict[tuple[str, int, int], set[int]] = {}
+# same key -> source line (recorded on first observation)
+bline: dict[tuple[str, int, int], int] = {}
 TOOL = 3  # sys.monitoring tool id (coverage slot is 1; stay clear)
 
 _BRANCH_OPS = frozenset(
@@ -51,11 +53,35 @@ def _on_branch(code, src, dst):
     fn = code.co_filename
     if not fn.startswith(PKG):
         return sys.monitoring.DISABLE
-    dests = bsites.setdefault((fn, id(code), src), set())
+    key = (fn, id(code), src)
+    dests = bsites.setdefault(key, set())
+    if not dests:
+        for s, e, ln in code.co_lines():
+            if ln is not None and s <= src < e:
+                bline[key] = ln
+                break
     dests.add(dst)
     # DISABLE turns off the whole SITE (both directions), so only
     # disable once both outcomes have been observed
     return sys.monitoring.DISABLE if len(dests) >= 2 else None
+
+
+def _partial_branch_lines(path: str) -> set[int]:
+    """Source lines of branch sites not covered in both directions
+    (diagnostic for PYCOV_MISSING; approximate for never-hit sites,
+    which are matched by bytecode offset only)."""
+    lines: set[int] = set()
+    for key, dests in bsites.items():
+        if key[0] == path and len(dests) < 2 and key in bline:
+            lines.add(bline[key])
+    seen_offsets = {k[2] for k in bsites if k[0] == path}
+    for code in _walk_codes(path):
+        for ins in dis.get_instructions(code):
+            if (ins.opname in _BRANCH_OPS
+                    and ins.offset not in seen_offsets
+                    and ins.positions and ins.positions.lineno):
+                lines.add(ins.positions.lineno)
+    return lines
 
 
 def _walk_codes(path: str):
@@ -156,6 +182,21 @@ def main() -> int:
                  f"| **{bpct:.1f}** |")
     report = "\n".join(lines) + "\n"
     print(report)
+    want = os.environ.get("PYCOV_MISSING")
+    if want:
+        for root, _dirs, files in os.walk(PKG):
+            if "__pycache__" in root:
+                continue
+            for f in sorted(files):
+                path = os.path.join(root, f)
+                if not f.endswith(".py") or want not in path:
+                    continue
+                poss = _possible_lines(path)
+                missing = sorted(poss - hit.get(path, set()))
+                print(f"-- {os.path.relpath(path, REPO)} missing "
+                      f"lines: {missing}")
+                print(f"-- partially-covered branch lines: "
+                      f"{sorted(_partial_branch_lines(path))}")
     with open(os.path.join(REPO, "COVERAGE.md"), "w") as f:
         f.write(report)
     print(f"wrote COVERAGE.md (lines {lpct:.1f}%, branches {bpct:.1f}%)",
