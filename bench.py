@@ -509,6 +509,7 @@ def child_main(progress_path: str) -> int:
             fargs = tuple(jnp.asarray(a) for a in arrs)
 
         rp = fu.fused_rpages(fp.max_off) if fp is not None else fu.RPAGES
+        sq = fu.fused_seqrows(fp.max_recs) if fp is not None else 8
 
         @jax.jit
         def decode_corpus(comp, *fa):
@@ -522,7 +523,7 @@ def child_main(progress_path: str) -> int:
                 seqrec, lits, winq, scal, patch = fa
                 rows, _ring = fu._decode_fused_device(
                     seqrec, lits, winq, scal, patch, n_sub=fp.n_sub,
-                    rpages=rp,
+                    rpages=rp, seq_rows=sq,
                 )
             return outs, rows
 
@@ -556,7 +557,7 @@ def child_main(progress_path: str) -> int:
                     seqrec, lits, winq, scal, patch = fa
                     rows, ring = fu._decode_fused_device(
                         seqrec, lits, winq, scal, patch, ring,
-                        n_sub=fp.n_sub, rpages=rp,
+                        n_sub=fp.n_sub, rpages=rp, seq_rows=sq,
                     )
                     probe = probe + rows[0, 0].astype(jnp.int32)
                 return probe, ring

@@ -126,6 +126,8 @@ class FusedPrep:
     n_seq_recs: int
     out_spans: list        # [(chain_id, sub_lo, sub_hi, out_len)]
     max_off: int = 65535   # max match offset in the prep (adaptive ring)
+    max_recs: int = SEQ_MAX    # max seq records in any substep
+    max_patches: int = PATCH_MAX   # max patches in any substep
 
 
 class FusedOverflow(Exception):
@@ -391,7 +393,8 @@ def _prep_fused_native_pre(lit_len, match_len, match_off, lit_src,
         )
     buf8 = np.ascontiguousarray(buf, np.uint8)
     try:
-        n_recs, n_patches = native.prep_fused_chain_pre(
+        n_recs, n_patches, max_recs, max_patches = \
+            native.prep_fused_chain_pre(
             np.ascontiguousarray(lit_len, np.int32),
             np.ascontiguousarray(match_len, np.int32),
             np.ascontiguousarray(match_off, np.int32),
@@ -407,6 +410,7 @@ def _prep_fused_native_pre(lit_len, match_len, match_off, lit_src,
         winq=winq, scal=scal, patch=patch,
         n_sub=n_sub, n_patches=n_patches, n_seq_recs=n_recs,
         out_spans=out_spans, max_off=max(1, int(max_off)),
+        max_recs=max_recs, max_patches=max_patches,
     )
 
 
@@ -472,6 +476,8 @@ def _prep_fused_native(lit_len, match_len, match_off, lit_src, buf,
         raise FusedOverflow(str(exc)) from None
     n_recs = sum(r[0] for r in results)
     n_patches = sum(r[1] for r in results)
+    max_recs = max((r[2] for r in results), default=0)
+    max_patches = max((r[3] for r in results), default=0)
     max_off = 1
     for (cid, lo, hi, _nl, _no, n_sub_c, _lb, _s0) in metas:
         if n_sub_c and hi > lo:
@@ -481,6 +487,7 @@ def _prep_fused_native(lit_len, match_len, match_off, lit_src, buf,
         winq=winq, scal=scal, patch=patch,
         n_sub=n_sub_total, n_patches=n_patches, n_seq_recs=n_recs,
         out_spans=out_spans, max_off=max_off,
+        max_recs=max_recs, max_patches=max_patches,
     )
 
 
@@ -576,6 +583,14 @@ def _prep_fused_numpy(
         scal[sub0:sub0 + n_sub_c, 3] = u0
         scal[sub0:sub0 + n_sub_c, 4] = v0
         scal[sub0:sub0 + n_sub_c, 5] = b0
+        # window-reload flag: substep 0 (incl. chain starts) and every
+        # (winq, wabs) transition; the kernel skips the literal-window
+        # VMEM refresh when 0
+        flag = np.ones(n_sub_c, np.int64)
+        if n_sub_c > 1:
+            flag[1:] = ((wq[1:] != wq[:-1])
+                        | (wabs[1:] != wabs[:-1])).astype(np.int64)
+        scal[sub0:sub0 + n_sub_c, 6] = flag
 
         # ---- per-seq records (zero-output sequences dropped) --------
         sizes_s = pst[1:S + 1] - pst[:S]
@@ -651,22 +666,26 @@ def _prep_fused_numpy(
 
     # ---- grouped record blocks --------------------------------------
     n_seq_recs = 0
+    max_recs = 0
     seqrec = np.zeros((nst, 2, 8, SEQ_MAX // 8), np.int32)
     if all_rec0:
         sub_i = np.concatenate(all_rec_sub)
         r0 = np.concatenate(all_rec0)
         r1 = np.concatenate(all_rec1)
         n_seq_recs = r0.size
+        max_recs = int(np.bincount(sub_i, minlength=nst).max())
         g0, g1 = _group_scatter(sub_i, [r0, r1], nst, SEQ_MAX,
                                 "seq records")
         seqrec[:, 0] = g0.reshape(nst, 8, SEQ_MAX // 8)
         seqrec[:, 1] = g1.reshape(nst, 8, SEQ_MAX // 8)
     n_patches = 0
+    max_patches = 0
     patch = np.zeros((nst, 8, PATCH_MAX // 8), np.int32)
     if all_pat:
         sub_i = np.concatenate(all_pat_sub)
         rec = np.concatenate(all_pat)
         n_patches = rec.size
+        max_patches = int(np.bincount(sub_i, minlength=nst).max())
         (g,) = _group_scatter(sub_i, [rec], nst, PATCH_MAX, "patches")
         patch = g.reshape(nst, 8, PATCH_MAX // 8).astype(np.int32)
 
@@ -678,6 +697,7 @@ def _prep_fused_numpy(
         seqrec=seqrec, lits=wins, winq=winq, scal=scal, patch=patch,
         n_sub=n_sub_total, n_patches=n_patches, n_seq_recs=n_seq_recs,
         out_spans=out_spans, max_off=max_off,
+        max_recs=max_recs, max_patches=max_patches,
     )
 
 
@@ -745,7 +765,8 @@ def golden_decode(prep: FusedPrep) -> np.ndarray:
 # Pallas kernel
 # ---------------------------------------------------------------------------
 
-def _make_kernel(ablate: frozenset = frozenset(), rpages: int = RPAGES):
+def _make_kernel(ablate: frozenset = frozenset(), rpages: int = RPAGES,
+                 seq_rows: int = 8):
     """ablate is an internal perf-ablation knob (exp/ harnesses only):
     'expand' short-circuits the record scatter+fill, 'patch' the patch
     matmul, 'route' the routing matmul+select.  Production callers
@@ -758,11 +779,21 @@ def _make_kernel(ablate: frozenset = frozenset(), rpages: int = RPAGES):
     rpages*256 divides 64 Ki) and the routing matmul pays
     (rpages+WPAGES)/272 of the full-ring FLOPs.  The shipped records
     are variant-independent; only kernel-side masks and the literal-
-    window bias change."""
+    window bias change.
+
+    ``seq_rows`` selects the ADAPTIVE RECORD WIDTH: record slots fill
+    the (8, SEQ_MAX//8) block row-major from slot 0, so when no substep
+    holds more than seq_rows*(SEQ_MAX//8) records (prep.max_recs), the
+    expansion only needs the first seq_rows rows — the scatter matmul's
+    K and the VPU hit-matrix build shrink proportionally (t1111k:
+    max 428 records/substep vs the 576 budget -> 6 rows, a 25% cut of
+    the expansion stage).  The scatter is order-independent, so reading
+    a slot prefix is exact as long as every live record is included."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
+    seq_k = seq_rows * (SEQ_MAX // 8)
     kpages = rpages + WPAGES
     rmask = rpages * 256 - 1
     u_bias = rpages * 256 - SUB
@@ -815,11 +846,19 @@ def _make_kernel(ablate: frozenset = frozenset(), rpages: int = RPAGES):
         def _():
             kmat[0:rpages, :] = ring_in_ref[...]
 
-        wo = scal_ref[i % 8, 1]
-        # literal window pages -> the rows above the ring (u8 -> i32 ->
-        # bf16: Mosaic has no direct u8->bf16 cast)
-        win = lit_ref[0, pl.ds(pl.multiple_of(wo, 8), WPAGES), :]
-        kmat[rpages:kpages, :] = win.astype(jnp.int32).astype(jnp.bfloat16)
+        # literal window pages -> the rows above the ring (u8 -> i32
+        # -> bf16: Mosaic has no direct u8->bf16 cast).  Gated on the
+        # prep's reload flag (scal[6]): consecutive substeps usually
+        # share the window, and rows >= rpages are written nowhere
+        # else, so skipping the refresh when unchanged is sound.  Grid
+        # step 0 always loads: a part-split launch starts with fresh
+        # (garbage) scratch even when its first substep's flag is 0.
+        @pl.when((i == 0) | (scal_ref[i % 8, 6] != 0))
+        def _():
+            wo = scal_ref[i % 8, 1]
+            win = lit_ref[0, pl.ds(pl.multiple_of(wo, 8), WPAGES), :]
+            kmat[rpages:kpages, :] = win.astype(jnp.int32).astype(
+                jnp.bfloat16)
 
         if unified:
             # ---- ONE scatter matmul for seq records AND patches ----
@@ -904,10 +943,12 @@ def _make_kernel(ablate: frozenset = frozenset(), rpages: int = RPAGES):
             # PREFIXED digit planes directly — replaces cum2d's
             # lane-shift log-prefix (measured 0.57 us/substep).
             r0 = jnp.concatenate(
-                [seqrec_ref[0, 0, r:r + 1, :] for r in range(8)], axis=1
-            )                                    # (1, SEQ_MAX)
+                [seqrec_ref[0, 0, r:r + 1, :] for r in range(seq_rows)],
+                axis=1
+            )                                    # (1, seq_k)
             r1 = jnp.concatenate(
-                [seqrec_ref[0, 1, r:r + 1, :] for r in range(8)], axis=1
+                [seqrec_ref[0, 1, r:r + 1, :] for r in range(seq_rows)],
+                axis=1
             )
             live = r0 != 0                       # cv+4 in [1,7]: real
             pos12 = r0 & 0xFFF                   # records are nonzero
@@ -923,7 +964,7 @@ def _make_kernel(ablate: frozenset = frozenset(), rpages: int = RPAGES):
             r_s = pos12 >> 7
             l_s = pos12 & 127
             iota_r = jax.lax.broadcasted_iota(
-                jnp.int32, (NCHUNK, SEQ_MAX), 0)
+                jnp.int32, (NCHUNK, seq_k), 0)
             hit_eq = (iota_r == r_s).astype(jnp.int32)
             hit_lt = (iota_r > r_s).astype(jnp.int32)
             A = jnp.concatenate(
@@ -933,13 +974,13 @@ def _make_kernel(ablate: frozenset = frozenset(), rpages: int = RPAGES):
                      (hit_lt * jnp.where(live, p, 0)
                       ).astype(jnp.bfloat16)], axis=1)
                  for p in planes], axis=0
-            )                                    # (7*NCHUNK, 2*SEQ_MAX)
+            )                                    # (7*NCHUNK, 2*seq_k)
             lane_ge = (jax.lax.broadcasted_iota(
-                jnp.int32, (CHUNK, SEQ_MAX), 0) >= l_s
+                jnp.int32, (CHUNK, seq_k), 0) >= l_s
             ).astype(jnp.bfloat16)
             B = jnp.concatenate(
-                [lane_ge, jnp.ones((CHUNK, SEQ_MAX), jnp.bfloat16)],
-                axis=1)                          # (CHUNK, 2*SEQ_MAX)
+                [lane_ge, jnp.ones((CHUNK, seq_k), jnp.bfloat16)],
+                axis=1)                          # (CHUNK, 2*seq_k)
             ps = jax.lax.dot_general(
                 A, B, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -1253,9 +1294,12 @@ def _make_route_kernel():
         def _():
             kmat[0:RPAGES, :] = ring_in_ref[...]
 
-        wo = scal_ref[i % 8, 1]
-        win = lit_ref[0, pl.ds(pl.multiple_of(wo, 8), WPAGES), :]
-        kmat[RPAGES:KPAGES, :] = win.astype(jnp.int32).astype(jnp.bfloat16)
+        @pl.when((i == 0) | (scal_ref[i % 8, 6] != 0))
+        def _():
+            wo = scal_ref[i % 8, 1]
+            win = lit_ref[0, pl.ds(pl.multiple_of(wo, 8), WPAGES), :]
+            kmat[RPAGES:KPAGES, :] = win.astype(jnp.int32).astype(
+                jnp.bfloat16)
 
         pos17 = jnp.concatenate(
             [pos_ref[r:r + 1, :] for r in range(NCHUNK)], axis=1
@@ -1389,19 +1433,20 @@ def _decode_split_device(seqrec, lits, winq, scal, patch,
 
 @functools.partial(
     __import__("jax").jit,
-    static_argnames=("n_sub", "interpret", "ablate", "rpages"),
+    static_argnames=("n_sub", "interpret", "ablate", "rpages",
+                     "seq_rows"),
 )
 def _decode_fused_device(seqrec, lits, winq, scal, patch,
                          ring_init=None, *,
                          n_sub, interpret=False, ablate=frozenset(),
-                         rpages=RPAGES):
+                         rpages=RPAGES, seq_rows=8):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    assert rpages == RPAGES or not ablate, (
-        "ablation knobs are full-ring only"
+    assert (rpages == RPAGES and seq_rows == 8) or not ablate, (
+        "ablation knobs are full-width only"
     )
     if ring_init is None:
         ring_init = jnp.zeros((rpages, ROWB), jnp.bfloat16)
@@ -1430,7 +1475,7 @@ def _decode_fused_device(seqrec, lits, winq, scal, patch,
                         pltpu.VMEM((NCHUNK, CHUNK), jnp.int32)],
     )
     rows, ring_out = pl.pallas_call(
-        _make_kernel(ablate, rpages),
+        _make_kernel(ablate, rpages, seq_rows),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((n_sub * SUB // 128, 128), jnp.bfloat16),
@@ -1458,6 +1503,16 @@ def fused_rpages(max_off: int) -> int:
     return RPAGES
 
 
+def fused_seqrows(max_recs: int) -> int:
+    """Smallest record-row count whose slot prefix provably holds every
+    substep's live records (slots fill row-major from 0; see
+    _make_kernel's seq_rows)."""
+    for r in (4, 6):
+        if max_recs <= r * (SEQ_MAX // 8):
+            return r
+    return 8
+
+
 def decode_fused_rows_on_device(prep: FusedPrep, interpret: bool = False,
                                 ring_init=None,
                                 part_subs: int | None = None):
@@ -1474,6 +1529,7 @@ def decode_fused_rows_on_device(prep: FusedPrep, interpret: bool = False,
     if prep.n_sub == 0:
         return jnp.zeros(0, jnp.uint8)
     rp = fused_rpages(prep.max_off)
+    sq = fused_seqrows(prep.max_recs)
     part = part_subs or PART_SUBS
     if prep.n_sub <= part:
         rows, _ring = _decode_fused_device(
@@ -1481,7 +1537,7 @@ def decode_fused_rows_on_device(prep: FusedPrep, interpret: bool = False,
             jnp.asarray(prep.winq), jnp.asarray(prep.scal),
             jnp.asarray(prep.patch),
             ring_init, n_sub=prep.n_sub, interpret=interpret,
-            rpages=rp,
+            rpages=rp, seq_rows=sq,
         )
         return rows.reshape(-1)
     lits_dev = jnp.asarray(prep.lits)
@@ -1495,7 +1551,7 @@ def decode_fused_rows_on_device(prep: FusedPrep, interpret: bool = False,
             jnp.asarray(prep.scal[p0:p1]),
             jnp.asarray(prep.patch[p0:p1]),
             ring, n_sub=p1 - p0, interpret=interpret,
-            rpages=rp,
+            rpages=rp, seq_rows=sq,
         )
         parts.append(rows.reshape(-1))
     return jnp.concatenate(parts)

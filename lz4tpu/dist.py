@@ -362,6 +362,8 @@ def _launch_chain_groups(table, buf: np.ndarray, mesh: Mesh,
                 jax.device_put(fp.scal, dev),
                 jax.device_put(fp.patch, dev),
                 n_sub=fp.n_sub, interpret=interpret,
+                rpages=fu.fused_rpages(fp.max_off),
+                seq_rows=fu.fused_seqrows(fp.max_recs),
             )
             fused_handles.append((plan, rows))
         resolve_chains.extend(plan.other)

@@ -508,7 +508,7 @@ def prep_fused_chain_pre(ll, ml, mo, ls, buf, n_win, starts, litpos,
         assert a.dtype == np.int32 and a.flags.c_contiguous
         return a.ctypes.data_as(i32p)
 
-    counts = np.zeros(2, np.int64)
+    counts = np.zeros(4, np.int64)
     buf8 = _as_u8(buf)
     st = _get().lz4tpu_prep_fused_pre(
         ip(ll), ip(ml), ip(mo), ip(ls), c.c_int64(ll.size),
@@ -523,7 +523,8 @@ def prep_fused_chain_pre(ll, ml, mo, ls, buf, n_win, starts, litpos,
     )
     if st != 0:
         raise ValueError(_PREP_OVERFLOW.get(st, f"prep status {st}"))
-    return int(counts[0]), int(counts[1])
+    return (int(counts[0]), int(counts[1]),
+            int(counts[2]), int(counts[3]))
 
 
 def prep_fused_chain(ll, ml, mo, ls, buf, lit_base, n_win,
@@ -541,7 +542,7 @@ def prep_fused_chain(ll, ml, mo, ls, buf, lit_base, n_win,
         assert a.dtype == np.int32 and a.flags.c_contiguous
         return a.ctypes.data_as(i32p)
 
-    counts = np.zeros(2, np.int64)
+    counts = np.zeros(4, np.int64)
     buf8 = _as_u8(buf)
     st = _get().lz4tpu_prep_fused(
         ip(ll), ip(ml), ip(mo), ip(ls), c.c_int64(ll.size),
@@ -556,4 +557,5 @@ def prep_fused_chain(ll, ml, mo, ls, buf, lit_base, n_win,
     )
     if st != 0:
         raise ValueError(_PREP_OVERFLOW.get(st, f"prep status {st}"))
-    return int(counts[0]), int(counts[1])
+    return (int(counts[0]), int(counts[1]),
+            int(counts[2]), int(counts[3]))

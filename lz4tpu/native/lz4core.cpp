@@ -2194,8 +2194,22 @@ static int32_t fz_prep_body(
         fz_record_ranges(row, 1);
     }
     if (ret == 0) {
+        // window-reload flags (scal[8i+6]): the kernel skips the
+        // per-substep literal-window VMEM refresh when the window is
+        // unchanged (substep 0 and every (winq, wabs) transition
+        // reload; chain starts are substep 0 of their own prep call)
+        int32_t max_rc = 0, max_pc = 0;
+        for (int64_t i = 0; i < n_sub; ++i) {
+            if (i == 0 || winq[i] != winq[i - 1]
+                    || scal[i * 8 + 2] != scal[(i - 1) * 8 + 2])
+                scal[i * 8 + 6] = 1;
+            if (rec_counts[i] > max_rc) max_rc = rec_counts[i];
+            if (counts[i] > max_pc) max_pc = counts[i];
+        }
         out_counts[0] = nrec;
         out_counts[1] = npat;
+        out_counts[2] = max_rc;
+        out_counts[3] = max_pc;
     } else if (hw) {
         // An aborted pass (overflow) wrote live slots but never ran
         // fz_zero_tails, so the buffer's dirt is no longer described

@@ -220,6 +220,8 @@ def test_native_prep_matches_numpy(name):
     assert a.n_patches == b.n_patches
     assert a.n_seq_recs == b.n_seq_recs
     assert a.out_spans == b.out_spans
+    assert a.max_recs == b.max_recs
+    assert a.max_patches == b.max_patches
 
 
 def test_partwise_launch_ring_carry():
@@ -403,3 +405,62 @@ def test_adaptive_ring_with_patches_and_carry():
                                           part_subs=16)))
     assert bytes(one[:n]) == blob
     assert (one[:n] == parts[:n]).all()
+
+
+def test_prep_maxima_match_arrays():
+    """prep.max_recs / max_patches equal the live-slot maxima of the
+    shipped arrays (the adaptive-width dispatch relies on them)."""
+    _data, prep = _prep("t100k")
+    rec_live = (prep.seqrec[:, 0] != 0).reshape(prep.n_sub, -1).sum(1)
+    pat_live = (prep.patch != 0).reshape(prep.n_sub, -1).sum(1)
+    assert prep.max_recs == int(rec_live.max())
+    assert prep.max_patches == int(pat_live.max())
+
+
+def test_fused_seqrows_dispatch():
+    lanes = fused.SEQ_MAX // 8
+    assert fused.fused_seqrows(0) == 4
+    assert fused.fused_seqrows(4 * lanes) == 4
+    assert fused.fused_seqrows(4 * lanes + 1) == 6
+    assert fused.fused_seqrows(6 * lanes) == 6
+    assert fused.fused_seqrows(6 * lanes + 1) == 8
+    assert fused.fused_seqrows(fused.SEQ_MAX) == 8
+
+
+@pytest.mark.parametrize("name", ["t2", "t389", "t100k", "concat390"])
+def test_kernel_adaptive_seq_rows(name):
+    """Every seq_rows variant wide enough for the prep decodes
+    bit-exactly (slot-prefix reads are exact: slots fill row-major
+    from 0 and the scatter is order-independent)."""
+    import jax
+    import jax.numpy as jnp
+
+    data, prep = _prep(name)
+    ref = decompress_host(data)
+    lanes = fused.SEQ_MAX // 8
+    for sq in (4, 6, 8):
+        if prep.max_recs > sq * lanes:
+            continue
+        rows, _ring = fused._decode_fused_device(
+            jnp.asarray(prep.seqrec), jnp.asarray(prep.lits),
+            jnp.asarray(prep.winq), jnp.asarray(prep.scal),
+            jnp.asarray(prep.patch), n_sub=prep.n_sub,
+            interpret=True, seq_rows=sq,
+        )
+        _check_spans(
+            np.asarray(jax.device_get(rows)).reshape(-1), prep,
+            ref)
+
+
+def test_window_reload_flags():
+    """scal[:,6] semantics: substep 0 flagged, and a flag of 0 implies
+    the (winq, wabs) pair equals the previous substep's."""
+    _data, prep = _prep("t100k")
+    flags = prep.scal[:prep.n_sub, 6]
+    assert flags[0] == 1
+    same = ((prep.winq[1:prep.n_sub] == prep.winq[:prep.n_sub - 1])
+            & (prep.scal[1:prep.n_sub, 2]
+               == prep.scal[:prep.n_sub - 1, 2]))
+    assert (flags[1:] == (~same).astype(np.int32)).all()
+    # gating must actually pay: windows are mostly stable on text
+    assert flags.sum() < prep.n_sub / 2
