@@ -202,40 +202,33 @@ def deltas_to_positions(deltas: np.ndarray) -> np.ndarray:
 # Device token-emission prototype (round-2 verdict next-#6)
 # ---------------------------------------------------------------------------
 
-@functools.partial(__import__("jax").jit, static_argnames=("n_pad",))
-def _emit_inputs_device(buf, n_real, *, n_pad: int):
-    """Per-position match decisions, entirely on device: emit_len
-    uint16 (0 = literal byte) and offset uint16 — 4 B shipped per
-    payload byte.
-
-    Two data-parallel stages, no gathers anywhere:
-
-    1. "Gram ladder": sorts find, per position, the nearest previous
-       position sharing a 4/8/16/32-byte prefix (one multi-key sort +
-       restore per level; zero collisions, any chain depth).
-    2. Run combining: log-doubling over STATIC shifts — two adjacent
-       equal-length matches with the SAME offset merge (p matches c
-       over L bytes and p+L matches c+L over L bytes, same distance ->
-       p matches c over 2L bytes), growing 32 -> 65536.  This recovers
-       long-run ratio (zeros, periodic text) that pure quantization
-       loses.
-
-    The emitter then needs NO searching and NO byte comparisons: every
-    (length, offset) is guaranteed by construction, so the host's
-    remaining work is a linear walk splicing tokens."""
-    import jax
+def _gram_words(b, n_words=8):
+    """Overlapping 4-byte words at offsets 0,4,..,4*(n_words-1)."""
     import jax.numpy as jnp
 
-    b = buf.astype(jnp.int32)
-    g = [
+    return [
         (
             jnp.roll(b, -s)
             + jnp.roll(b, -s - 1) * 256
             + jnp.roll(b, -s - 2) * 65536
             + jnp.roll(b, -s - 3) * 16777216
         )
-        for s in range(0, 32, 4)
+        for s in range(0, 4 * n_words, 4)
     ]
+
+
+@functools.partial(__import__("jax").jit, static_argnames=("n_pad",))
+def _emit_inputs_device_ladder(buf, n_real, *, n_pad: int):
+    """Original per-level gram ladder (one multi-key sort + restore per
+    level, EXACT nearest-previous occurrence).  Kept as the quality
+    reference for _emit_inputs_device's one-sort scheme (differential
+    size tests); 8 sorts total made it sort-bound at ~50 MB/s payload
+    (round-3 verdict weakness #5)."""
+    import jax
+    import jax.numpy as jnp
+
+    b = buf.astype(jnp.int32)
+    g = _gram_words(b)
     pos = jnp.arange(n_pad, dtype=jnp.int32)
 
     def nearest(nwords):
@@ -255,6 +248,15 @@ def _emit_inputs_device(buf, n_real, *, n_pad: int):
         return jnp.where(ok, d, 0)
 
     d4, d8, d16, d32 = (nearest(1), nearest(2), nearest(4), nearest(8))
+    return _combine_levels(d4, d8, d16, d32, n_real, n_pad)
+
+
+def _combine_levels(d4, d8, d16, d32, n_real, n_pad):
+    """Level selection + log-doubling run combining (shared tail of
+    both emit-inputs schemes)."""
+    import jax.numpy as jnp
+
+    pos = jnp.arange(n_pad, dtype=jnp.int32)
     L = jnp.where(
         d32 > 0, 32, jnp.where(
             d16 > 0, 16, jnp.where(d8 > 0, 8, jnp.where(d4 > 0, 4, 0))
@@ -275,9 +277,117 @@ def _emit_inputs_device(buf, n_real, *, n_pad: int):
     return L.astype(jnp.uint16), d.astype(jnp.uint16)
 
 
+@functools.partial(__import__("jax").jit, static_argnames=("n_pad",))
+def _emit_inputs_device(buf, n_real, *, n_pad: int):
+    """Per-position match decisions, entirely on device: emit_len
+    uint16 (0 = literal byte) and offset uint16 — 4 B shipped per
+    payload byte.
+
+    ONE content sort instead of the ladder's eight (round-3 verdict
+    next-#6): sorting once by the full 32-byte prefix (8 gram words +
+    position, 9 keys) orders every level at once, because a longer-
+    prefix sort refines every shorter-prefix grouping — positions
+    sharing a k-byte prefix are CONTIGUOUS in the sorted order for all
+    k <= 32.  Per level the previous-occurrence candidate is then a
+    segmented SCAN, not a sort:
+
+    * group-minimum position (prefix+suffix segmented min via
+      log-doubling — always the safest in-group candidate when it fits
+      the 64 KiB window);
+    * sort-order neighbors at +-{1,2,4,8,16} (validity = no group
+      boundary crossed, checked with one cummax/cummin of boundary
+      indices per level) — neighbors share the deepest prefixes, which
+      on real data correlates with nearby positions, recovering most
+      of the exact ladder's nearest-occurrence quality near the window
+      edge.
+
+    The best (largest) valid candidate per level feeds the same
+    level-selection + run-combining tail; ONE restore sort carries all
+    four levels back to position order.  Total: one 9-key sort + one
+    1-key restore + O(log n) vector scans, vs the ladder's 8 sorts.
+    Candidate-correctness argument: a chosen candidate c < pos shares
+    k real bytes with pos because pos + k <= n_real (masked) and
+    c + k < pos + k, so both grams read real bytes; matches are
+    guaranteed byte-equal by construction, never re-verified.
+
+    Run combining (shared): log-doubling over STATIC shifts — two
+    adjacent equal-length matches with the SAME offset merge, growing
+    32 -> 65536, recovering long-run ratio that quantization loses."""
+    import jax
+    import jax.numpy as jnp
+
+    b = buf.astype(jnp.int32)
+    g = _gram_words(b)
+    pos = jnp.arange(n_pad, dtype=jnp.int32)
+    srt = jax.lax.sort(tuple(g) + (pos,), num_keys=9)
+    ws, p_s = srt[:-1], srt[-1]
+    idx = pos                      # index within the sorted order
+
+    # adjacent-pair prefix agreement per level (words 1/2/4/8)
+    agree = idx >= 1
+    agree_at = {}
+    for j, w in enumerate(ws):
+        agree = jnp.logical_and(agree, jnp.roll(w, 1) == w)
+        if j + 1 in (1, 2, 4, 8):
+            agree_at[4 * (j + 1)] = agree
+
+    dlev = {}
+    for k in (4, 8, 16, 32):
+        bnd = jnp.logical_not(agree_at[k])       # group starts here
+        start = jax.lax.cummax(jnp.where(bnd, idx, 0), axis=0)
+        nxt = jax.lax.cummin(
+            jnp.where(bnd, idx, n_pad)[::-1], axis=0)[::-1]
+        # nxt[i] = first group start at or after i; group of i is
+        # [start_i, end_i] with end_i = (first start AFTER i) - 1
+        after = jnp.roll(nxt, -1).at[-1].set(n_pad)
+
+        # segmented min over the group: prefix + suffix doubling,
+        # capped at sort-distance 2^17 — a group wider than that is
+        # pathological (near-constant data), where the +-1 sort
+        # neighbors already carry the answer (within a giant group the
+        # last sort key is the position itself)
+        span = min(n_pad, 1 << 17)
+        pm = p_s
+        step = 1
+        while step < span:
+            ok = start <= idx - step
+            pm = jnp.where(ok, jnp.minimum(pm, jnp.roll(pm, step)), pm)
+            step <<= 1
+        sm = p_s
+        step = 1
+        while step < span:
+            ok = after > idx + step    # i+step still in i's group
+            sm = jnp.where(ok, jnp.minimum(sm, jnp.roll(sm, -step)), sm)
+            step <<= 1
+        gmin = jnp.minimum(pm, sm)
+
+        def consider(best, c, valid):
+            valid = jnp.logical_and(
+                valid, jnp.logical_and(c < p_s, p_s - c <= 65535))
+            return jnp.where(jnp.logical_and(valid, c > best), c, best)
+
+        best = jnp.full((n_pad,), -1, jnp.int32)
+        best = consider(best, gmin, jnp.full((n_pad,), True))
+        for r in (1, 2, 4, 8, 16):
+            best = consider(best, jnp.roll(p_s, r),
+                            start <= idx - r)
+            best = consider(best, jnp.roll(p_s, -r),
+                            after > idx + r)
+        dlev[k] = jnp.where(best >= 0, p_s - best, 0)
+
+    # ONE restore sort carries all four levels back to position order
+    _, c4, c8, c16, c32 = jax.lax.sort(
+        (p_s, dlev[4], dlev[8], dlev[16], dlev[32]), num_keys=1)
+    # gram-validity mask (the level's bytes must be real data)
+    lev = []
+    for k, c in ((4, c4), (8, c8), (16, c16), (32, c32)):
+        lev.append(jnp.where(pos + k <= n_real, c, 0))
+    return _combine_levels(*lev, n_real, n_pad)
+
+
 def emit_inputs(data: np.ndarray):
-    """(emit_len uint16[n], offset uint16[n]) from the device ladder +
-    run combining (all end-of-buffer masking happens on device)."""
+    """(emit_len uint16[n], offset uint16[n]) from the device one-sort
+    scheme + run combining (all end-of-buffer masking on device)."""
     import jax
 
     n = int(data.size)

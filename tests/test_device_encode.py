@@ -257,6 +257,40 @@ class TestDeviceEmission:
             search = de.compress_block_device(payload)
             assert len(emit) <= len(search) * 1.20
 
+    def test_one_sort_scheme_matches_exact_ladder_quality(self):
+        """The one-sort emit-inputs scheme (segmented scans instead of
+        per-level sorts) must stay within 2% of the EXACT per-level
+        ladder's compressed sizes — including a buffer big enough that
+        the 64 KiB window edge matters (real text, ~100 KiB)."""
+        import jax
+        import jax.numpy as jnp
+
+        t100k = open(
+            "/root/reference/test_vectors_lz4/t100k.bin", "rb").read()
+        rng = np.random.default_rng(44)
+        mixed = (b"the quick brown fox %d | " * 1 % 0) + b"".join(
+            b"var%d = value_%d; " % (i % 97, i % 31)
+            for i in range(6000)
+        ) + rng.integers(0, 256, 8000, dtype=np.uint8).tobytes()
+        for payload in (t100k, mixed):
+            data = np.frombuffer(payload, np.uint8)
+            n = data.size
+            n_pad = (n + 1023) // 1024 * 1024
+            buf = np.zeros(n_pad, np.uint8)
+            buf[:n] = data
+
+            def sizes(fn):
+                elen, eoff = fn(jnp.asarray(buf), np.int32(n),
+                                n_pad=n_pad)
+                elen = np.array(jax.device_get(elen)[:n])
+                eoff = np.array(jax.device_get(eoff)[:n])
+                from lz4tpu.native import emit_quantized
+                return len(emit_quantized(data, 0, n, elen, eoff))
+
+            new_sz = sizes(de._emit_inputs_device)
+            old_sz = sizes(de._emit_inputs_device_ladder)
+            assert new_sz <= old_sz * 1.02, (new_sz, old_sz)
+
     def test_history_matches(self):
         from lz4tpu.block import decode_block_ring_py
 
