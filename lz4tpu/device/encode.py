@@ -248,23 +248,23 @@ def _emit_inputs_device_ladder(buf, n_real, *, n_pad: int):
         return jnp.where(ok, d, 0)
 
     d4, d8, d16, d32 = (nearest(1), nearest(2), nearest(4), nearest(8))
-    return _combine_levels(d4, d8, d16, d32, n_real, n_pad)
+    return _combine_levels(
+        [(4, d4), (8, d8), (16, d16), (32, d32)], n_real, n_pad)
 
 
-def _combine_levels(d4, d8, d16, d32, n_real, n_pad):
+def _combine_levels(levels, n_real, n_pad):
     """Level selection + log-doubling run combining (shared tail of
-    both emit-inputs schemes)."""
+    both emit-inputs schemes).  ``levels``: [(k_bytes, d_k)] ascending;
+    the longest level with a candidate wins per position."""
     import jax.numpy as jnp
 
     pos = jnp.arange(n_pad, dtype=jnp.int32)
-    L = jnp.where(
-        d32 > 0, 32, jnp.where(
-            d16 > 0, 16, jnp.where(d8 > 0, 8, jnp.where(d4 > 0, 4, 0))
-        )
-    )
-    d = jnp.where(
-        d32 > 0, d32, jnp.where(d16 > 0, d16, jnp.where(d8 > 0, d8, d4))
-    )
+    L = jnp.zeros(n_pad, jnp.int32)
+    d = jnp.zeros(n_pad, jnp.int32)
+    for k, dk in levels:
+        dk = dk.astype(jnp.int32)
+        L = jnp.where(dk > 0, k, L)
+        d = jnp.where(dk > 0, dk, d)
     for j in range(11):                     # 32 -> 65536
         step = 32 << j
         can = jnp.logical_and(
@@ -323,16 +323,18 @@ def _emit_inputs_device(buf, n_real, *, n_pad: int):
     ws, p_s = srt[:-1], srt[-1]
     idx = pos                      # index within the sorted order
 
-    # adjacent-pair prefix agreement per level (words 1/2/4/8)
+    # adjacent-pair prefix agreement per level — ALL eight word
+    # levels (4..32 step 4): intermediate lengths cost only scans
+    # here (the ladder paid a sort per level, so it stopped at four),
+    # and finer levels halve the length-quantization loss on text
     agree = idx >= 1
     agree_at = {}
     for j, w in enumerate(ws):
         agree = jnp.logical_and(agree, jnp.roll(w, 1) == w)
-        if j + 1 in (1, 2, 4, 8):
-            agree_at[4 * (j + 1)] = agree
+        agree_at[4 * (j + 1)] = agree
 
     dlev = {}
-    for k in (4, 8, 16, 32):
+    for k in agree_at:
         bnd = jnp.logical_not(agree_at[k])       # group starts here
         start = jax.lax.cummax(jnp.where(bnd, idx, 0), axis=0)
         nxt = jax.lax.cummin(
@@ -375,14 +377,14 @@ def _emit_inputs_device(buf, n_real, *, n_pad: int):
                             after > idx + r)
         dlev[k] = jnp.where(best >= 0, p_s - best, 0)
 
-    # ONE restore sort carries all four levels back to position order
-    _, c4, c8, c16, c32 = jax.lax.sort(
-        (p_s, dlev[4], dlev[8], dlev[16], dlev[32]), num_keys=1)
+    # ONE restore sort carries every level back to position order
+    ks = sorted(dlev)
+    restored = jax.lax.sort(
+        (p_s,) + tuple(dlev[k] for k in ks), num_keys=1)
     # gram-validity mask (the level's bytes must be real data)
-    lev = []
-    for k, c in ((4, c4), (8, c8), (16, c16), (32, c32)):
-        lev.append(jnp.where(pos + k <= n_real, c, 0))
-    return _combine_levels(*lev, n_real, n_pad)
+    lev = [(k, jnp.where(pos + k <= n_real, c, 0))
+           for k, c in zip(ks, restored[1:])]
+    return _combine_levels(lev, n_real, n_pad)
 
 
 def emit_inputs(data: np.ndarray):

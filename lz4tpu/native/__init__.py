@@ -379,8 +379,10 @@ def emit_quantized(joined: np.ndarray, hist_len: int, src_len: int,
                    elen: np.ndarray, eoff: np.ndarray) -> bytes:
     """Mechanical token splice for the device-emission prototype: the
     device decided every match (quantized length + offset, guaranteed
-    correct by the gram-ladder sorts); this walk only formats the
-    token stream.  No search, no byte compares."""
+    correct by the gram sorts); this walk formats the token stream,
+    merges same-offset runs arithmetically, and extends matches
+    forward while bytes agree (the only byte compares — each advances
+    the cursor, so O(block) total).  No searching."""
     c = ctypes
     cap = src_len + src_len // 128 + 64 + src_len // 8
     dst = np.empty(cap, np.uint8)

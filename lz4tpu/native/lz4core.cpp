@@ -1144,13 +1144,31 @@ int64_t lz4tpu_emit_quantized(
             // only merges power-of-two aligned pairs, so e.g. a
             // 992-byte run arrives as 512+256+128+64+32; this splices
             // it into a single token.
-            while (p + L < match_end_cap && elen[p + L] >= 4
-                   && eoff[p + L] == eoff[p]) {
-                int64_t ext = elen[p + L];
-                if (ext > match_end_cap - (p + L))
-                    ext = match_end_cap - (p + L);
-                L += ext;
-                if (ext < elen[p + L - ext]) break;  // truncated: stop
+            for (;;) {
+                const int64_t L_before = L;
+                while (p + L < match_end_cap && elen[p + L] >= 4
+                       && eoff[p + L] == eoff[p]) {
+                    int64_t ext = elen[p + L];
+                    if (ext > match_end_cap - (p + L))
+                        ext = match_end_cap - (p + L);
+                    L += ext;
+                    if (ext < elen[p + L - ext]) break;  // truncated
+                }
+                // Bounded forward extension: the match is guaranteed
+                // for L bytes by construction; extending while the
+                // actual bytes agree recovers the 1..3-byte residue
+                // the 4-byte level quantization drops.  These are the
+                // only byte compares in this emitter, and every
+                // successful compare advances p, so the total stays
+                // O(block).  Loop back: the extension can land on a
+                // same-offset follow-up decision, which merges
+                // arithmetically again.
+                {
+                    const int64_t dd = (int64_t)eoff[p];
+                    while (p + L < match_end_cap
+                           && buf[p + L] == buf[p + L - dd]) ++L;
+                }
+                if (L == L_before) break;
             }
             const int64_t lit = p - lit_start;
             const int64_t ml = L - 4;

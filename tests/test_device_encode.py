@@ -249,13 +249,16 @@ class TestDeviceEmission:
             assert bytes(data[p - d:p - d + L]) == bytes(data[p:p + L])
 
     def test_ratio_vs_search_encoder(self):
-        """Quantized+combined lengths stay within 20% of the search
-        encoder on text and runs (measured ~1.01-1.16x)."""
+        """Quantized+combined+extended lengths stay within 5% of the
+        search encoder on text and runs (measured 1.00-1.03x with the
+        8-level scheme + bounded forward extension)."""
+        t300k = open(
+            "/root/reference/test_vectors_lz4/t300k.bin", "rb").read()
         for payload in (b"lorem ipsum dolor sit amet " * 2000,
-                        bytes(50000) + b"tail " * 400):
+                        bytes(50000) + b"tail " * 400, t300k):
             emit = de.compress_block_device_emit(payload)
             search = de.compress_block_device(payload)
-            assert len(emit) <= len(search) * 1.20
+            assert len(emit) <= len(search) * 1.05
 
     def test_one_sort_scheme_matches_exact_ladder_quality(self):
         """The one-sort emit-inputs scheme (segmented scans instead of
