@@ -69,6 +69,27 @@ def one_round(rng: np.random.Generator, seed: int) -> None:
         out += c.update(data[i:i + step])
     out += c.finish()
     assert bytes(out) == frame, f"stream seed={seed}"
+    # caller-owned buffer parity: update_into with a random chunking
+    # and a randomly oversized buffer must reproduce update() exactly
+    ctx, consumed = lz4tpu.Decompressor.from_header(frame)
+    buf = bytearray(ctx.min_buffer_size + int(rng.integers(0, 4096)))
+    arr = np.frombuffer(frame, np.uint8)[consumed:]
+    step2 = int(rng.integers(1, max(2, arr.size)))
+    got = bytearray()
+    pos = 0
+    stall = 0
+    while pos < arr.size:
+        c2, first, last = ctx.update_into(arr[pos:pos + step2], buf)
+        if last >= first:
+            got += bytes(memoryview(buf)[first:last + 1])
+        pos += c2
+        if c2 == 0:
+            step2 = arr.size        # stalled on a chunk boundary:
+            stall += 1              # offer the whole remaining tail
+            assert stall < 5, f"update_into stall seed={seed}"
+        else:
+            stall = 0
+    assert bytes(got) == data, f"update_into seed={seed}"
     # corruption parity: flip one byte, compare host vs device outcome
     if len(frame) > 12:
         bad = bytearray(frame)
