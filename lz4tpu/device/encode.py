@@ -347,21 +347,31 @@ def _emit_inputs_device(buf, n_real, *, n_pad: int):
         # capped at sort-distance 2^17 — a group wider than that is
         # pathological (near-constant data), where the +-1 sort
         # neighbors already carry the answer (within a giant group the
-        # last sort key is the position itself)
-        span = min(n_pad, 1 << 17)
-        pm = p_s
-        step = 1
-        while step < span:
-            ok = start <= idx - step
-            pm = jnp.where(ok, jnp.minimum(pm, jnp.roll(pm, step)), pm)
-            step <<= 1
-        sm = p_s
-        step = 1
-        while step < span:
-            ok = after > idx + step    # i+step still in i's group
-            sm = jnp.where(ok, jnp.minimum(sm, jnp.roll(sm, -step)), sm)
-            step <<= 1
-        gmin = jnp.minimum(pm, sm)
+        # last sort key is the position itself).  Only the four MAIN
+        # levels pay for the full scan; the intermediate refinement
+        # levels (12/20/24/28) use sort-neighbor candidates alone — a
+        # miss there just rounds the emitted length down to the next
+        # main level, and the doubling passes are the scheme's
+        # dominant vector cost.
+        if k in (4, 8, 16, 32):
+            span = min(n_pad, 1 << 17)
+            pm = p_s
+            step = 1
+            while step < span:
+                ok = start <= idx - step
+                pm = jnp.where(
+                    ok, jnp.minimum(pm, jnp.roll(pm, step)), pm)
+                step <<= 1
+            sm = p_s
+            step = 1
+            while step < span:
+                ok = after > idx + step    # i+step still in i's group
+                sm = jnp.where(
+                    ok, jnp.minimum(sm, jnp.roll(sm, -step)), sm)
+                step <<= 1
+            gmin = jnp.minimum(pm, sm)
+        else:
+            gmin = p_s                     # self: always invalid below
 
         def consider(best, c, valid):
             valid = jnp.logical_and(
