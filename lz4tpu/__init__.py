@@ -33,6 +33,8 @@ from .errors import (
     NotSupported,
     TooFewHeaderBytes,
     TooLittleMemory,
+    hex8,     # reference To_Hex(U8)  (lz4ada.ads:306 — test helper)
+    hex32,    # reference To_Hex(U32) (lz4ada.ads:307)
 )
 from .stream import Decompressor, Format
 from .xxh32 import XXHash32, xxh32
