@@ -82,7 +82,6 @@ min(N, chains)).
 
 from __future__ import annotations
 
-import functools
 import json
 import os
 import pathlib
@@ -511,35 +510,50 @@ def child_main(progress_path: str) -> int:
         rp = fu.fused_rpages(fp.max_off) if fp is not None else fu.RPAGES
         sq = fu.fused_seqrows(fp.max_recs) if fp is not None else 8
 
-        @jax.jit
-        def decode_corpus(comp, *fa):
+        def decode_once(comp, fa, ring):
             """One full decode of the vector to HBM-resident output."""
-            outs = [
+            outs = tuple(
                 sp._compile_program(prog.ops, prog.n_out)(comp)
                 for _c, prog in sparse_progs
-            ]
-            rows = None
+            )
+            rows = ()
             if fa:
                 seqrec, lits, winq, scal, patch = fa
-                rows, _ring = fu._decode_fused_device(
-                    seqrec, lits, winq, scal, patch, n_sub=fp.n_sub,
-                    rpages=rp, seq_rows=sq,
+                r, ring = fu._decode_fused_device(
+                    seqrec, lits, winq, scal, patch, ring,
+                    n_sub=fp.n_sub, rpages=rp, seq_rows=sq,
                 )
-            return outs, rows
+                rows = (r,)
+            return outs, rows, ring
 
-        @functools.partial(jax.jit, static_argnames=("reps",))
-        def decode_chain(comp, *fa, reps):
+        ring0 = jnp.zeros((rp, fu.ROWB), jnp.bfloat16)
+        outs0, rows0, _ = jax.eval_shape(
+            decode_once, jax.ShapeDtypeStruct(comp_dev.shape,
+                                              comp_dev.dtype),
+            fargs, ring0)
+        zeros = lambda tree: jax.tree_util.tree_map(  # noqa: E731
+            lambda s: jnp.zeros(s.shape, s.dtype), tree)
+
+        @jax.jit
+        def decode_chain(comp, reps, *fa):
             """reps decodes chained INSIDE one jit by data dependencies
             (ring carry + an opaque zero mixed into the inputs), so one
             timed call is one dispatch: the slope measures pure device
             time even when the dev tunnel's dispatch latency spikes
             (observed: a ms-scale per-dispatch floor that swamped
-            per-decode times measured as queued separate dispatches)."""
-            ring0 = jnp.zeros((rp, fu.ROWB), jnp.bfloat16)
+            per-decode times measured as queued separate dispatches).
+
+            ``reps`` is DYNAMIC and the final iteration's outputs ride
+            in the carry, so correctness (reps=1) and every slope point
+            share ONE compiled program — the tunnel's compile service
+            has slow days (observed 3-5 min per program vs the usual
+            20-40 s), and the old shape (a correctness program plus one
+            chain program per static reps value = 4 compiles/vector)
+            blew the whole 780 s deadline before measuring anything."""
             probe0 = jnp.zeros((), jnp.int32)
 
             def body(_k, carry):
-                probe, ring = carry
+                probe, ring, _outs, _rows = carry
                 # the barrier makes the carry opaque: without it XLA's
                 # range analysis proves min(probe, 0) == 0 (probe
                 # accumulates uint8 casts), folds the data dependency,
@@ -549,28 +563,27 @@ def child_main(progress_path: str) -> int:
                     (probe, ring))
                 z = jnp.minimum(probe, 0).astype(jnp.uint8)
                 c = comp + z           # runtime-identical to comp
-                for _c, prog in sparse_progs:
-                    o = sp._compile_program(prog.ops, prog.n_out)(c)
+                outs, rows, ring = decode_once(c, fa, ring)
+                for o in outs:
                     # accumulate REAL bytes so the decode stays live
                     probe = probe + o[0].astype(jnp.int32)
-                if fa:
-                    seqrec, lits, winq, scal, patch = fa
-                    rows, ring = fu._decode_fused_device(
-                        seqrec, lits, winq, scal, patch, ring,
-                        n_sub=fp.n_sub, rpages=rp, seq_rows=sq,
-                    )
-                    probe = probe + rows[0, 0].astype(jnp.int32)
-                return probe, ring
+                for r in rows:
+                    probe = probe + r[0, 0].astype(jnp.int32)
+                return probe, ring, outs, rows
 
-            probe, _ring = jax.lax.fori_loop(
-                0, reps, body, (probe0, ring0))
-            return probe
+            probe, _ring, outs, rows = jax.lax.fori_loop(
+                0, reps, body,
+                (probe0, ring0, zeros(outs0), zeros(rows0)))
+            return probe, outs, rows
 
         def run_n(reps):
-            return decode_chain(comp_dev, *(fargs or ()), reps=reps)
+            return decode_chain(comp_dev, jnp.int32(reps),
+                                *(fargs or ()))[0]
 
-        # correctness gate (outside timing)
-        outs, rows = decode_corpus(comp_dev, *(fargs or ()))
+        # correctness gate (outside timing; same compiled program)
+        _probe, outs, rows = decode_chain(comp_dev, jnp.int32(1),
+                                          *(fargs or ()))
+        rows = rows[0] if rows else None
         res = bytearray(n_out)
         for (chain, _p), o in zip(sparse_progs, outs):
             n_c = chain.out_hi - chain.out_lo
