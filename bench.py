@@ -564,6 +564,16 @@ def child_main(progress_path: str) -> int:
                 z = jnp.minimum(probe, 0).astype(jnp.uint8)
                 c = comp + z           # runtime-identical to comp
                 outs, rows, ring = decode_once(c, fa, ring)
+                # a probe of o[0] alone is NOT enough for pure-XLA
+                # copy/fill programs: XLA peels the loop and elides the
+                # copy on every non-final iteration (exp/r4_live_probe:
+                # b3444k "measured" -10.7 us/decode, i.e. nothing).
+                # The barrier forces each iteration's outputs to
+                # materialize; measured cost matches the HBM copy
+                # roofline.  Pallas outputs (rows) are opaque anyway.
+                if outs or rows:
+                    outs, rows = jax.lax.optimization_barrier(
+                        (outs, rows))
                 for o in outs:
                     # accumulate REAL bytes so the decode stays live
                     probe = probe + o[0].astype(jnp.int32)
