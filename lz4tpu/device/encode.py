@@ -277,6 +277,92 @@ def _combine_levels(levels, n_real, n_pad):
     return L.astype(jnp.uint16), d.astype(jnp.uint16)
 
 
+def _pshift(y, s, fill):
+    """Shift right by ``s`` along the last axis, filling with ``fill``
+    (the doubling-step primitive of the blocked scans below)."""
+    import jax.numpy as jnp
+
+    pad = jnp.full(y.shape[:-1] + (s,), fill, y.dtype)
+    return jnp.concatenate([pad, y[..., :-s]], axis=-1)
+
+
+_SCAN_BLOCK = 512
+
+
+def _blocked_cumsum(x):
+    """Inclusive prefix sum via a two-level blocked Hillis-Steele:
+    log2(block) doubling steps on an (n/block, block) view plus a tiny
+    carry scan over block totals — ~10 full-width passes instead of
+    the ~2*log2(n) of a flat scan.  (The flat `lax.cummax`-family
+    scans were the dominant vector cost of the one-sort emit scheme.)
+    """
+    import jax.numpy as jnp
+
+    n = x.shape[0]
+    blk = _SCAN_BLOCK if n % _SCAN_BLOCK == 0 else 1
+    if blk == 1 or n <= blk:
+        import jax
+
+        return jax.lax.cumsum(x, axis=0)
+    y = x.reshape(n // blk, blk)
+    s = 1
+    while s < blk:
+        y = y + _pshift(y, s, x.dtype.type(0))
+        s <<= 1
+    tot = y[:, -1]
+    s = 1
+    while s < tot.shape[0]:
+        tot = tot + _pshift(tot, s, x.dtype.type(0))
+        s <<= 1
+    carry = _pshift(tot, 1, x.dtype.type(0))
+    return (y + carry[:, None]).reshape(-1)
+
+
+def _seg_min_prefix(v, f):
+    """Inclusive SEGMENTED prefix-min: out[i] = min(v[s_i..i]) where
+    s_i is the latest j <= i with f[j] (f[0] must be True).  Blocked
+    two-level segmented Hillis-Steele with the classic pair operator
+    (flag ORs forward; the value stops combining once a boundary is
+    inside the right span)."""
+    import jax.numpy as jnp
+
+    big = jnp.iinfo(v.dtype).max
+    n = v.shape[0]
+    blk = _SCAN_BLOCK if n % _SCAN_BLOCK == 0 and n > _SCAN_BLOCK else n
+    vv = v.reshape(n // blk, blk)
+    ff = f.reshape(n // blk, blk)
+    s = 1
+    while s < blk:
+        vp = _pshift(vv, s, v.dtype.type(big))
+        fp = _pshift(ff, s, False)
+        vv = jnp.where(ff, vv, jnp.minimum(vv, vp))
+        ff = jnp.logical_or(ff, fp)
+        s <<= 1
+    if blk != n:
+        av, af = vv[:, -1], ff[:, -1]
+        s = 1
+        while s < av.shape[0]:
+            avp = _pshift(av, s, v.dtype.type(big))
+            afp = _pshift(af, s, False)
+            av = jnp.where(af, av, jnp.minimum(av, avp))
+            af = jnp.logical_or(af, afp)
+            s <<= 1
+        carry = _pshift(av, 1, v.dtype.type(big))
+        vv = jnp.where(ff, vv, jnp.minimum(vv, carry[:, None]))
+    return vv.reshape(-1)
+
+
+def _seg_min_suffix(v, bnd):
+    """Segmented suffix-min: out[i] = min(v[i..e_i]) where e_i is the
+    last index before the NEXT boundary (bnd[j] starts a group at j).
+    Implemented as the reversed prefix scan with the boundary flags
+    shifted to mark segment-LAST positions."""
+    import jax.numpy as jnp
+
+    last = jnp.roll(bnd, -1).at[-1].set(True)
+    return _seg_min_prefix(v[::-1], last[::-1])[::-1]
+
+
 @functools.partial(__import__("jax").jit, static_argnames=("n_pad",))
 def _emit_inputs_device(buf, n_real, *, n_pad: int):
     """Per-position match decisions, entirely on device: emit_len
@@ -291,15 +377,20 @@ def _emit_inputs_device(buf, n_real, *, n_pad: int):
     k <= 32.  Per level the previous-occurrence candidate is then a
     segmented SCAN, not a sort:
 
-    * group-minimum position (prefix+suffix segmented min via
-      log-doubling — always the safest in-group candidate when it fits
-      the 64 KiB window);
+    * group-minimum position (blocked two-level segmented prefix +
+      suffix min, `_seg_min_prefix`/`_seg_min_suffix` — always the
+      safest in-group candidate when it fits the 64 KiB window);
     * sort-order neighbors at +-{1,2,4,8,16} (validity = no group
-      boundary crossed, checked with one cummax/cummin of boundary
-      indices per level) — neighbors share the deepest prefixes, which
-      on real data correlates with nearby positions, recovering most
-      of the exact ladder's nearest-occurrence quality near the window
-      edge.
+      boundary crossed, checked against ONE blocked prefix-sum of
+      boundary flags per level) — neighbors share the deepest
+      prefixes, which on real data correlates with nearby positions,
+      recovering most of the exact ladder's nearest-occurrence quality
+      near the window edge.
+
+    All scans are blocked (log2(512) full-width doubling steps + a
+    tiny block-carry scan) instead of flat lax.cummax/cummin/doubling
+    chains — the flat scans, not the sorts, dominated the device time
+    of the original formulation.
 
     The best (largest) valid candidate per level feeds the same
     level-selection + run-combining tail; ONE restore sort carries all
@@ -336,40 +427,23 @@ def _emit_inputs_device(buf, n_real, *, n_pad: int):
     dlev = {}
     for k in agree_at:
         bnd = jnp.logical_not(agree_at[k])       # group starts here
-        start = jax.lax.cummax(jnp.where(bnd, idx, 0), axis=0)
-        nxt = jax.lax.cummin(
-            jnp.where(bnd, idx, n_pad)[::-1], axis=0)[::-1]
-        # nxt[i] = first group start at or after i; group of i is
-        # [start_i, end_i] with end_i = (first start AFTER i) - 1
-        after = jnp.roll(nxt, -1).at[-1].set(n_pad)
+        # ONE blocked prefix sum of the boundary flags serves BOTH
+        # neighbor directions: positions i and i+-r share a group iff
+        # no group start lies between them, i.e. cnt matches.  (The
+        # previous start/after formulation cost a flat cummax AND a
+        # flat cummin per level — the flat scans, not the sorts, were
+        # the scheme's dominant device cost.)
+        cnt = _blocked_cumsum(bnd.astype(jnp.int32))
 
-        # segmented min over the group: prefix + suffix doubling,
-        # capped at sort-distance 2^17 — a group wider than that is
-        # pathological (near-constant data), where the +-1 sort
-        # neighbors already carry the answer (within a giant group the
-        # last sort key is the position itself).  Only the four MAIN
-        # levels pay for the full scan; the intermediate refinement
-        # levels (12/20/24/28) use sort-neighbor candidates alone — a
-        # miss there just rounds the emitted length down to the next
-        # main level, and the doubling passes are the scheme's
-        # dominant vector cost.
+        # exact segmented group-min on the four MAIN levels (blocked
+        # two-level segmented scans; no span cap — the blocked carry
+        # chain covers arbitrarily wide groups for free).  The
+        # intermediate refinement levels (12/20/24/28) use
+        # sort-neighbor candidates alone — a miss there just rounds
+        # the emitted length down to the next main level.
         if k in (4, 8, 16, 32):
-            span = min(n_pad, 1 << 17)
-            pm = p_s
-            step = 1
-            while step < span:
-                ok = start <= idx - step
-                pm = jnp.where(
-                    ok, jnp.minimum(pm, jnp.roll(pm, step)), pm)
-                step <<= 1
-            sm = p_s
-            step = 1
-            while step < span:
-                ok = after > idx + step    # i+step still in i's group
-                sm = jnp.where(
-                    ok, jnp.minimum(sm, jnp.roll(sm, -step)), sm)
-                step <<= 1
-            gmin = jnp.minimum(pm, sm)
+            gmin = jnp.minimum(_seg_min_prefix(p_s, bnd),
+                               _seg_min_suffix(p_s, bnd))
         else:
             gmin = p_s                     # self: always invalid below
 
@@ -381,10 +455,13 @@ def _emit_inputs_device(buf, n_real, *, n_pad: int):
         best = jnp.full((n_pad,), -1, jnp.int32)
         best = consider(best, gmin, jnp.full((n_pad,), True))
         for r in (1, 2, 4, 8, 16):
-            best = consider(best, jnp.roll(p_s, r),
-                            start <= idx - r)
-            best = consider(best, jnp.roll(p_s, -r),
-                            after > idx + r)
+            best = consider(
+                best, jnp.roll(p_s, r),
+                jnp.logical_and(idx >= r, cnt == jnp.roll(cnt, r)))
+            best = consider(
+                best, jnp.roll(p_s, -r),
+                jnp.logical_and(idx < n_pad - r,
+                                cnt == jnp.roll(cnt, -r)))
         dlev[k] = jnp.where(best >= 0, p_s - best, 0)
 
     # ONE restore sort carries every level back to position order
