@@ -431,6 +431,7 @@ def _fake_child(progress: _Progress) -> int:
     with configurable pacing, then optionally hangs."""
     delay = float(os.environ.get("LZ4TPU_BENCH_FAKE_DELAY", "0"))
     hang_after = os.environ.get("LZ4TPU_BENCH_FAKE_HANG_AFTER")
+    mark_path = os.environ.get("LZ4TPU_BENCH_FAKE_MARK")
     fake_n = {"z9m": 9437166, "t1111k": 1111000, "b3444k": 3444000}
     vectors = []
     for name in VECTORS:
@@ -439,6 +440,11 @@ def _fake_child(progress: _Progress) -> int:
                  t_prep_ms=1.0, t_dev_ms=1.0)
         progress.emit(**v)
         vectors.append(v)
+        if mark_path:
+            # deterministic test sync: the SIGTERM test polls this
+            # file instead of guessing how long child startup takes
+            with open(mark_path, "a") as f:
+                f.write(name + "\n")
         if hang_after == name:
             time.sleep(1e6)
     payload = compose_payload(vectors)

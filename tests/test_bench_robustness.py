@@ -30,7 +30,7 @@ import pytest
 BENCH = pathlib.Path(__file__).resolve().parent.parent / "bench.py"
 
 
-def _run(env_extra, timeout=60, send_sigterm_after=None):
+def _run(env_extra, timeout=60, sigterm_after_mark=None):
     env = dict(os.environ)
     env["LZ4TPU_BENCH_FAKE"] = "1"
     env.update(env_extra)
@@ -38,8 +38,20 @@ def _run(env_extra, timeout=60, send_sigterm_after=None):
         [sys.executable, str(BENCH)],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
     )
-    if send_sigterm_after is not None:
-        time.sleep(send_sigterm_after)
+    if sigterm_after_mark is not None:
+        # wait until the fake child has recorded the named vector
+        # (fixed sleeps race child startup on a loaded 1-core box)
+        mark = pathlib.Path(env["LZ4TPU_BENCH_FAKE_MARK"])
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if mark.exists() and sigterm_after_mark in \
+                    mark.read_text().split():
+                break
+            time.sleep(0.05)
+        else:
+            proc.kill()
+            raise AssertionError(
+                f"fake child never marked {sigterm_after_mark!r}")
         proc.send_signal(signal.SIGTERM)
     out, err = proc.communicate(timeout=timeout)
     return proc.returncode, out.decode(), err.decode()
@@ -86,8 +98,9 @@ def test_sigterm_emits_partial(tmp_path):
     rc, out, _err = _run({
         "LZ4TPU_BENCH_CACHE": str(tmp_path / "cache.json"),
         "LZ4TPU_BENCH_FAKE_HANG_AFTER": "z9m",
+        "LZ4TPU_BENCH_FAKE_MARK": str(tmp_path / "mark.txt"),
         "LZ4TPU_BENCH_DEADLINE": "120",
-    }, send_sigterm_after=2.0, timeout=40)
+    }, sigterm_after_mark="z9m", timeout=60)
     assert rc == 0
     payload = _one_json_line(out)
     assert payload["incomplete"] is True
