@@ -271,6 +271,7 @@ def prep_fused(
     buf: np.ndarray,
     chain_ranges: list | None = None,
     pre: tuple | None = None,
+    pooled: bool = True,
 ) -> FusedPrep:
     """Build fused-kernel inputs from sequence-table ranges.
 
@@ -285,7 +286,12 @@ def prep_fused(
 
     ``pre`` — ``(starts_ext, litpos_ext, lits_flat, max_off)`` from
     native.scan_block_full (single-chain tables only, see
-    pipeline.SeqTable.pre): skips the prep's phase 1 entirely."""
+    pipeline.SeqTable.pre): skips the prep's phase 1 entirely.
+
+    ``pooled=False`` returns caller-owned arrays regardless of the
+    buffer pool (callers that hold more than _POOL_DEPTH preps of one
+    size class alive at once — e.g. collected span preps — must opt
+    out or the pool would recycle live buffers under them)."""
     from .. import native
 
     if native.available():
@@ -293,10 +299,12 @@ def prep_fused(
                 and (chain_ranges is None
                      or chain_ranges == [(0, lit_len.size)])):
             return _prep_fused_native_pre(
-                lit_len, match_len, match_off, lit_src, buf, pre
+                lit_len, match_len, match_off, lit_src, buf, pre,
+                pooled=pooled,
             )
         return _prep_fused_native(
-            lit_len, match_len, match_off, lit_src, buf, chain_ranges
+            lit_len, match_len, match_off, lit_src, buf, chain_ranges,
+            pooled=pooled,
         )
     return _prep_fused_numpy(
         lit_len, match_len, match_off, lit_src, buf, chain_ranges
@@ -321,7 +329,7 @@ _POOL: dict = {}
 _POOL_DEPTH = 4
 
 
-def _pool_arrays(nst: int, lit_cap: int):
+def _pool_arrays(nst: int, lit_cap: int, pooled: bool = True):
     """Rotating buffer pool for prep outputs.
 
     Fresh multi-MB numpy allocations cost ~2 ms in first-touch page
@@ -332,7 +340,8 @@ def _pool_arrays(nst: int, lit_cap: int):
     import collections
     import os
 
-    if (os.environ.get("LZ4TPU_PREP_POOL", "1") == "0"
+    if (not pooled
+            or os.environ.get("LZ4TPU_PREP_POOL", "1") == "0"
             or nst > 2048):   # pool only request-sized preps (<=8 MiB)
         return (
             np.zeros(lit_cap, np.uint8),
@@ -368,7 +377,7 @@ def _pool_arrays(nst: int, lit_cap: int):
 
 
 def _prep_fused_native_pre(lit_len, match_len, match_off, lit_src,
-                           buf, pre) -> FusedPrep:
+                           buf, pre, pooled: bool = True) -> FusedPrep:
     """Single-chain prep from scan_block_full outputs: phase 1
     (prefix sums + literal extraction) already happened at scan time;
     goes straight to the fused scal+records+patches pass
@@ -382,7 +391,7 @@ def _prep_fused_native_pre(lit_len, match_len, match_off, lit_src,
     n_sub = -(-n_out // SUB) if n_out else 0
     n_win = max(1, -(-max(1, n_lit) // LITWIN_Q))
     nst = max(n_sub, 1)
-    _, winq, scal, seqrec, patch, hw = _pool_arrays(nst, 1)
+    _, winq, scal, seqrec, patch, hw = _pool_arrays(nst, 1, pooled)
     out_spans = [(0, 0, n_sub, n_out)]
     if n_sub == 0:
         return FusedPrep(
@@ -415,7 +424,7 @@ def _prep_fused_native_pre(lit_len, match_len, match_off, lit_src,
 
 
 def _prep_fused_native(lit_len, match_len, match_off, lit_src, buf,
-                       chain_ranges) -> FusedPrep:
+                       chain_ranges, pooled: bool = True) -> FusedPrep:
     from .. import native
 
     if chain_ranges is None:
@@ -434,7 +443,7 @@ def _prep_fused_native(lit_len, match_len, match_off, lit_src, buf,
     n_win = max(1, -(-max(1, lit_acc) // LITWIN_Q))
     nst = max(n_sub_total, 1)
     lits_flat, winq, scal, seqrec, patch, hw = _pool_arrays(
-        nst, max(lit_acc, 1)
+        nst, max(lit_acc, 1), pooled
     )
     out_spans = []
     buf8 = np.ascontiguousarray(buf, np.uint8)
@@ -706,11 +715,18 @@ def _prep_fused_numpy(
 # golden vs host engine, and Pallas kernel vs golden)
 # ---------------------------------------------------------------------------
 
-def golden_decode(prep: FusedPrep) -> np.ndarray:
+def golden_decode(prep: FusedPrep, ring_init=None) -> np.ndarray:
     """Reference implementation of the kernel's per-substep math —
     identical record decoding, scatter + prefix fill, patch override
-    and source-position semantics; byte values read directly."""
+    and source-position semantics; byte values read directly.
+
+    ``ring_init``: optional uint8[65536] history seed in ring layout
+    (flat index = chain output position mod 64 Ki) for span decode —
+    the numpy analog of the kernel's ring_in (single-chain preps
+    only; multi-chain preps reset the ring at every chain start)."""
     ring = np.zeros(65536, np.uint8)
+    if ring_init is not None:
+        ring[:] = ring_init
     lit_flat = np.zeros((prep.lits.shape[0] + 1) * LITWIN_Q, np.uint8)
     for w in range(prep.lits.shape[0]):
         lit_flat[w * LITWIN_Q: w * LITWIN_Q + 8192] = (
@@ -719,6 +735,9 @@ def golden_decode(prep: FusedPrep) -> np.ndarray:
     out = np.zeros(prep.n_sub * SUB, np.uint8)
     chain_start = {slo for (_c, slo, shi, _n) in prep.out_spans
                    if shi > slo}
+    if ring_init is not None:
+        assert chain_start <= {0}, "ring_init is single-chain only"
+        chain_start = set()
     jrel = np.arange(SUB, dtype=np.int64)
     for i in range(prep.n_sub):
         if i in chain_start:

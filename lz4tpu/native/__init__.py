@@ -119,6 +119,15 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     ]
     lib.lz4tpu_prep_last_ranges.restype = c.c_int64
     lib.lz4tpu_prep_last_ranges.argtypes = [i64p, c.c_int64]
+    lib.lz4tpu_resolve_window.restype = c.c_int32
+    lib.lz4tpu_resolve_window.argtypes = [
+        i32p, i32p, i32p, i32p, c.c_int64,        # ll, ml, mo, ls, S
+        u8p,                                       # buf
+        i32p,                                      # starts [S+1]
+        c.c_int64, c.c_int64,                      # B, W
+        u8p,                                       # out [W]
+        c.c_int64,                                 # hop budget
+    ]
     lib.lz4tpu_prep_fused_pre.restype = c.c_int32
     lib.lz4tpu_prep_fused_pre.argtypes = [
         i32p, i32p, i32p, i32p, c.c_int64,       # ll, ml, mo, ls, S
@@ -292,6 +301,40 @@ def prep_last_ranges() -> np.ndarray:
         buf.ctypes.data_as(c.POINTER(c.c_int64)), 256
     )
     return buf[:n]
+
+
+def resolve_window(
+    lit_len: np.ndarray,
+    match_len: np.ndarray,
+    match_off: np.ndarray,
+    lit_src: np.ndarray,
+    buf: np.ndarray,
+    starts: np.ndarray,
+    boundary: int,
+    nbytes: int,
+    out: np.ndarray | None = None,
+    hop_budget: int = 1 << 24,
+) -> np.ndarray:
+    """Chain output bytes [boundary - nbytes, boundary) materialized by
+    provenance chain-following (lz4tpu_resolve_window) — the boundary
+    ring seed of span-parallel decode (lz4tpu/spans.py).  ``starts`` is
+    the int32 [S+1] chain-local size prefix.  Bit-identical to
+    spans.resolve_ring_bytes (differential-tested).  Raises ValueError
+    when a chain walk exceeds the native depth cap (callers fall back
+    to the numpy resolver or skip span-splitting)."""
+    c = ctypes
+    i32p = c.POINTER(c.c_int32)
+    if out is None:
+        out = np.empty(nbytes, np.uint8)
+    st = _get().lz4tpu_resolve_window(
+        lit_len.ctypes.data_as(i32p), match_len.ctypes.data_as(i32p),
+        match_off.ctypes.data_as(i32p), lit_src.ctypes.data_as(i32p),
+        lit_len.size, _u8ptr(buf), starts.ctypes.data_as(i32p),
+        boundary, nbytes, _u8ptr(out), hop_budget,
+    )
+    if st != 0:
+        raise ValueError(f"resolve_window failed with status {st}")
+    return out
 
 
 def pack_threads() -> int:

@@ -2378,6 +2378,161 @@ int32_t lz4tpu_prep_fused(
 }
 
 
+// ---------------------------------------------------------------------------
+// Boundary-window resolver (lz4tpu/spans.py): materialize chain output
+// bytes [B - W, B) by provenance chain-following through the sequence
+// table — the host side of span-parallel decode of one monolithic
+// dependent-block chain (the reference's serial history-ring regime,
+// lib/lz4ada.adb:845-904, re-cut at span boundaries).
+//
+// Work is O(W + walks), NOT O(chain output): positions resolve in
+// ascending order so in-window back-references copy from already-
+// resolved bytes (an LZ4-style overlapping copy); only references
+// escaping the window walk their chain, one run-amortized walk per
+// stable-structure run (the fz_patch_seq trick), with the overlapping-
+// match modular shortcut collapsing RLE pyramids to one hop per
+// sequence.  Bit-identical to the numpy reference resolver
+// (spans.resolve_ring_bytes, differential-tested).
+//
+// starts: [S+1] chain-local exclusive size prefix (starts[S] = n_out).
+// Returns 0, or -1 when a chain walk exceeds the depth cap (the
+// caller then simply does not span-split).
+// ---------------------------------------------------------------------------
+
+static inline int64_t rw_owner(const int32_t* starts, int64_t S,
+                               int64_t p) {
+    int64_t lo = 0, hi = S;
+    while (lo < hi) {
+        int64_t mid = (lo + hi) >> 1;
+        if ((int64_t)starts[mid] <= p) lo = mid + 1; else hi = mid;
+    }
+    return lo > 0 ? lo - 1 : 0;
+}
+
+// Owner of p when it is known to be < cap (walk hops move strictly
+// backward, so the previous owner + 1 caps the search): gallop down
+// from the cap, then bisect the bracketed range — O(log distance)
+// with cache-adjacent probes, vs a full-range bisect per hop.
+static inline int64_t rw_owner_down(const int32_t* starts, int64_t cap,
+                                    int64_t p) {
+    int64_t hi = cap, lo = cap - 1, step = 1;
+    while (lo > 0 && (int64_t)starts[lo] > p) {
+        hi = lo;
+        lo -= step;
+        if (lo < 0) lo = 0;
+        step <<= 1;
+    }
+    if ((int64_t)starts[lo] > p) return 0;
+    // owner in [lo, hi): starts[lo] <= p, starts[hi] > p
+    while (lo + 1 < hi) {
+        int64_t mid = (lo + hi) >> 1;
+        if ((int64_t)starts[mid] <= p) lo = mid; else hi = mid;
+    }
+    return lo;
+}
+
+int32_t lz4tpu_resolve_window(
+    const int32_t* ll, const int32_t* ml, const int32_t* mo,
+    const int32_t* ls, int64_t S,
+    const uint8_t* buf,
+    const int32_t* starts,   // [S+1]
+    int64_t B, int64_t W, uint8_t* out,
+    int64_t hop_budget) {
+    const int64_t lo = B - W;
+    int64_t hops = 0;
+    int64_t q = lo;
+    if (q < 0) {
+        // positions before the chain start are never referenced (the
+        // scan validates back-references against the frame start)
+        std::memset(out, 0, (size_t)(-q < W ? -q : W));
+        q = 0;
+    }
+    if (q >= B) return 0;
+    int64_t s = rw_owner(starts, S + 1, q);
+    while (q < B) {
+        while ((int64_t)starts[s + 1] <= q) ++s;
+        const int64_t local = q - starts[s];
+        const int64_t l = ll[s];
+        if (local < l) {
+            int64_t run = l - local;
+            if (run > B - q) run = B - q;
+            std::memcpy(out + (q - lo), buf + ls[s] + local,
+                        (size_t)run);
+            q += run;
+            continue;
+        }
+        const int64_t off = mo[s] >= 1 ? mo[s] : 1;
+        const int64_t mend = starts[s + 1];
+        int64_t rem = mend - q;
+        if (rem > B - q) rem = B - q;
+        const int64_t src0 = q - off;
+        if (src0 >= lo) {
+            // ascending self-overlap-safe copy from resolved bytes
+            uint8_t* d = out + (q - lo);
+            const uint8_t* sp2 = out + (src0 - lo);
+            if (off >= 16) {
+                int64_t k = 0;
+                for (; k + 16 <= rem; k += 16)
+                    std::memcpy(d + k, sp2 + k, 16);
+                for (; k < rem; ++k) d[k] = sp2[k];
+            } else {
+                for (int64_t k = 0; k < rem; ++k) d[k] = sp2[k];
+            }
+            q += rem;
+            continue;
+        }
+        // Deep walk: this run's sources precede the window.  Each hop
+        // shrinks `rem` to keep the run's chain structure uniform;
+        // terminals are a literal run, or a hop back inside the
+        // resolved window prefix.
+        int64_t p = q;
+        int64_t s_cap = s + 1;   // owner of p is always < s_cap
+        int64_t depth = 0;
+        for (;;) {
+            // deep legitimate chains exist (an RLE pyramid crosses one
+            // segment per hop), so the bound is a total work budget,
+            // not a per-walk depth constant
+            if (++depth, ++hops > hop_budget) return -1;
+            const int64_t s2 = depth == 1
+                ? s : rw_owner_down(starts, s_cap, p);
+            s_cap = s2 + 1;
+            const int64_t loc2 = p - starts[s2];
+            const int64_t l2 = ll[s2];
+            if (loc2 < l2) {
+                if (l2 - loc2 < rem) rem = l2 - loc2;
+                std::memcpy(out + (q - lo), buf + ls[s2] + loc2,
+                            (size_t)rem);
+                break;
+            }
+            const int64_t off2 = mo[s2] >= 1 ? mo[s2] : 1;
+            const int64_t m0 = starts[s2] + l2;
+            const int64_t seg_end = starts[s2 + 1];
+            if (seg_end - p < rem) rem = seg_end - p;
+            int64_t hop = p - off2;
+            if (hop >= m0) {
+                // overlapping match: collapse the pyramid in one hop;
+                // consecutive sources stay consecutive until the
+                // residue wraps mod off2
+                const int64_t r2 = (p - m0) % off2;
+                hop = m0 - off2 + r2;
+                if (off2 - r2 < rem) rem = off2 - r2;
+            }
+            if (hop >= lo && hop < q) {
+                if (q - hop < rem) rem = q - hop;
+                uint8_t* d = out + (q - lo);
+                const uint8_t* sp2 = out + (hop - lo);
+                for (int64_t k = 0; k < rem; ++k) d[k] = sp2[k];
+                break;
+            }
+            p = hop;
+        }
+        if (rem < 1) rem = 1;   // defensive: always progress
+        q += rem;
+    }
+    return 0;
+}
+
+
 // Read back the last prep's per-range instrumentation rows (see
 // fz_record_ranges).  Returns the row count; copies min(count, cap)
 // rows of 4 int64 each into out.  Rows are only recorded while

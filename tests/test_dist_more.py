@@ -146,7 +146,7 @@ def test_initialize_multihost_forwards_args(monkeypatch):
 def test_sharded_span_assignment_partitions(mesh):
     frames = _text_frames(6)
     buf, table = _table_of(frames)
-    by_proc = dist.sharded_span_assignment(table, mesh)
+    by_proc = dist.sharded_span_assignment(table, buf, mesh)
     # single process: every chain lands on process 0, spans sorted and
     # exactly partitioning [0, n_out)
     assert set(by_proc) == {0}
@@ -157,7 +157,7 @@ def test_sharded_span_assignment_partitions(mesh):
     for (a, b), (c, d) in zip(spans, spans[1:]):
         assert b == c and a < b
     # deterministic: recomputation yields the identical assignment
-    assert dist.sharded_span_assignment(table, mesh) == by_proc
+    assert dist.sharded_span_assignment(table, buf, mesh) == by_proc
 
 
 def test_span_assignment_matches_to_device_segments(mesh):
@@ -169,7 +169,7 @@ def test_span_assignment_matches_to_device_segments(mesh):
     segs = dist.decode_sharded_chains_to_device(table, buf, mesh,
                                                 interpret=True)
     got = sorted((lo, lo + int(arr.shape[0])) for lo, arr in segs)
-    assert got == dist.sharded_span_assignment(table, mesh)[0]
+    assert got == dist.sharded_span_assignment(table, buf, mesh)[0]
     # and the bytes are right
     out = np.zeros(table.n_out, np.uint8)
     for lo, arr in segs:

@@ -90,7 +90,7 @@ from lz4tpu.dist import (decode_sharded_chains_to_device,
 buf = np.frombuffer(frames, np.uint8)
 parsed = parse_frames(buf, FOR_ALL)
 table = build_seq_table(buf, parsed, FOR_ALL, frames)
-assign = sharded_span_assignment(table, mesh)
+assign = sharded_span_assignment(table, buf, mesh)
 covered = sorted(sp for spans in assign.values() for sp in spans)
 pos = 0
 for lo, hi in covered:
