@@ -825,12 +825,57 @@ def assemble_device_segments(segs: list, n_out: int):
     return assemble([a for _lo, a in segs])
 
 
+def _pipelined_rows(buf, table, interpret, pipelined):
+    """Try the pipelined single-chain fused decode (prep chunks
+    interleaved with async device launches, device/fused.py
+    decode_fused_pipelined); returns the device uint8 array or None
+    when not applicable / on budget overflow.
+
+    Opt-in (``pipelined=True`` or LZ4TPU_PIPELINE=1): on a production
+    host the per-chunk dispatch hides device time behind host prep,
+    but through the dev tunnel each extra dispatch pays a ~2 ms floor
+    that outweighs the overlap for request-sized streams, so the
+    monolithic launch stays the default here."""
+    import os
+
+    if pipelined is None:
+        pipelined = os.environ.get("LZ4TPU_PIPELINE", "0") == "1"
+    if not pipelined or table.pre is None:
+        return None
+    import jax
+
+    from . import native
+    from .device import fused as fu
+
+    if not native.available():
+        return None
+    if jax.devices()[0].platform == "cpu" and not interpret:
+        return None
+    chains = _chains_of(table)
+    if len(chains) != 1:
+        return None
+    c = chains[0]
+    if c.seq_hi - c.seq_lo <= _SPARSE_MAX_SEQS:
+        return None
+    if c.out_hi - c.out_lo > _FUSED_MAX_CHAIN_OUT:
+        return None
+    try:
+        flat, n_out = fu.decode_fused_pipelined(
+            table.lit_len, table.match_len, table.match_off,
+            table.lit_src, buf, table.pre, interpret=interpret,
+        )
+    except fu.FusedOverflow:
+        return None
+    return flat[:n_out]
+
+
 def decompress_to_device(
     data,
     reservation: Reservation = FOR_ALL,
     interpret: bool = False,
     verify: str = "host",
     out=None,
+    pipelined: bool | None = None,
 ):
     """Decode a whole buffer and leave the output in device HBM.
 
@@ -865,7 +910,7 @@ def decompress_to_device(
 
     try:
         res = _decompress_to_device_batch(
-            data, reservation, interpret, verify)
+            data, reservation, interpret, verify, pipelined)
     except Lz4Error:
         # stream-order fault precedence (see decompress_device): the
         # streaming engine re-derives the diagnostic; if it succeeds
@@ -899,7 +944,8 @@ def _write_into_donated(res, out):
     return _into(out, res)
 
 
-def _decompress_to_device_batch(data, reservation, interpret, verify):
+def _decompress_to_device_batch(data, reservation, interpret, verify,
+                                pipelined=None):
     import jax
     import jax.numpy as jnp
 
@@ -927,9 +973,12 @@ def _decompress_to_device_batch(data, reservation, interpret, verify):
         # stage once: the batched per-block xxh32 kernel hashes the
         # compressed bytes in HBM, and sparse programs reuse the array
         comp_dev = jnp.asarray(buf)
-    segs = build_device_segments(buf, table, plan_decode(buf, parsed, table),
-                                 interpret, comp_dev=comp_dev)
-    out_dev = assemble_device_segments(segs, table.n_out)
+    out_dev = _pipelined_rows(buf, table, interpret, pipelined)
+    if out_dev is None:
+        segs = build_device_segments(
+            buf, table, plan_decode(buf, parsed, table),
+            interpret, comp_dev=comp_dev)
+        out_dev = assemble_device_segments(segs, table.n_out)
     if verify == "host":
         out_np = np.asarray(jax.device_get(out_dev))
         _verify_checksums(buf, parsed, out_np, table)
