@@ -126,11 +126,20 @@ def compose_payload(vectors, sustained=None):
     completed vectors).  Aggregate rate = total bytes / total time over
     the vectors present; vs_baseline uses the same subset of the
     reference per-corpus rates so a partial run stays apples-to-apples.
+
+    Hygiene (round-4 verdict weak-#3): a vector whose device slope was
+    FLOORED under an unstable clock is dropped from the aggregate and
+    flagged in ``vectors_excluded`` — a floored sample must never ride
+    the denominator; and the payload carries ``per_vector`` rows
+    (rate, per-vector vs_target, slope spread across the interleaved
+    rounds) so the named vectors cannot hide inside the aggregate.
     """
-    total_bytes = sum(v["n_out"] for v in vectors)
-    agg_t = sum(v["t_prep_ms"] + v["t_dev_ms"] for v in vectors) / 1e3
+    ok = [v for v in vectors if not v.get("floored")]
+    bad = [v for v in vectors if v.get("floored")]
+    total_bytes = sum(v["n_out"] for v in ok)
+    agg_t = sum(v["t_prep_ms"] + v["t_dev_ms"] for v in ok) / 1e3
     t_ref = sum(
-        v["n_out"] / (REF_MIBS[v["name"]] * 1024 * 1024) for v in vectors
+        v["n_out"] / (REF_MIBS[v["name"]] * 1024 * 1024) for v in ok
     )
     gbps = total_bytes / agg_t / 1e9 if agg_t > 0 else 0.0
     ref_gbps = total_bytes / t_ref / 1e9 if t_ref > 0 else 1.0
@@ -141,6 +150,36 @@ def compose_payload(vectors, sustained=None):
         "vs_baseline": round(gbps / ref_gbps, 4) if ref_gbps else 0.0,
         "vs_target": round(gbps / TARGET_GBPS, 4),
     }
+    per_vec = []
+    for v in vectors:
+        t_total = (v["t_prep_ms"] + v["t_dev_ms"]) / 1e3
+        row = {
+            "name": v["name"],
+            "gbps": round(v["n_out"] / t_total / 1e9, 4) if t_total
+            else 0.0,
+            "gbps_dev": round(
+                v["n_out"] / (v["t_dev_ms"] / 1e3) / 1e9, 4
+            ) if v["t_dev_ms"] else 0.0,
+            "vs_target": round(
+                v["n_out"] / t_total / 1e9 / TARGET_GBPS, 4
+            ) if t_total else 0.0,
+            "t_prep_ms": round(v["t_prep_ms"], 3),
+            "t_dev_ms": round(v["t_dev_ms"], 4),
+        }
+        for k in ("t_dev_ms_min", "t_dev_ms_max", "t_prep_ms_min",
+                  "t_prep_ms_max", "slope_rounds"):
+            if k in v:
+                row[k] = v[k]
+        if v.get("floored"):
+            row["floored"] = True
+        per_vec.append(row)
+    payload["per_vector"] = per_vec
+    if bad:
+        payload["vectors_excluded"] = [v["name"] for v in bad]
+        payload["note_excluded"] = (
+            "device slope floored under unstable clock; dropped from "
+            "the aggregate"
+        )
     if sustained:
         h, e = sustained
         payload["sustained_hostbound_gbps"] = round(h, 4)
@@ -498,6 +537,7 @@ def child_main(progress_path: str) -> int:
             plan = plan_decode(buf, parsed, table)
             samples.append(time.time() - t0)
         t_prep = sorted(samples)[3]
+        prep_min, prep_max = min(samples), max(samples)
         assert not plan.other, f"{name}: chain fell off the fast paths"
         assert not plan.dense_chains, f"{name}: fused overflow -> mxu2"
 
@@ -630,6 +670,7 @@ def child_main(progress_path: str) -> int:
         n_slopes = 3 if tight else 5
         settle_iters = 3 if tight else 10
         t_dev = None
+        slopes = []
         for _attempt in range(attempts):
             t_prev = timed(REPS)
             for _ in range(settle_iters):
@@ -648,19 +689,32 @@ def child_main(progress_path: str) -> int:
             # estimate is sane (positive and not faster than 1 us)
             if t_dev > 1e-6:
                 break
-        if t_dev is None or t_dev <= 1e-6:
+        # A still-floored sample is flagged and EXCLUDED from the
+        # aggregate by compose_payload (round-4 verdict weak-#3: a
+        # floored device time must never ride the denominator).
+        floored = t_dev is None or t_dev <= 1e-6
+        if floored:
             t_dev = max(t_dev or 0.0, 1e-6)
-            print(f"{name}: WARNING unstable clock; device time floored",
+            print(f"{name}: WARNING unstable clock; device slope "
+                  "floored -> vector excluded from the aggregate",
                   file=sys.stderr)
 
         t_total = t_prep + t_dev
+        sane = sorted(s for s in slopes if s > 0) or [t_dev]
         v = dict(
             event="vector", name=name, n_out=n_out,
             t_prep_ms=t_prep * 1e3, t_dev_ms=t_dev * 1e3,
+            t_prep_ms_min=round(prep_min * 1e3, 3),
+            t_prep_ms_max=round(prep_max * 1e3, 3),
+            t_dev_ms_min=round(sane[0] * 1e3, 4),
+            t_dev_ms_max=round(sane[-1] * 1e3, 4),
+            slope_rounds=len(slopes),
             gbps=n_out / t_total / 1e9,
             gbps_dev=n_out / t_dev / 1e9,
             shipped_mb=shipped / 1e6,
         )
+        if floored:
+            v["floored"] = True
         per_vec.append(v)
         progress.emit(**v)
         print(

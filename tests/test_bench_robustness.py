@@ -167,6 +167,54 @@ def test_compose_payload_math():
                                              rel=1e-3)
 
 
+def test_compose_payload_drops_floored_vectors():
+    """A device slope floored under an unstable clock must not ride
+    the aggregate denominator (round-4 verdict weak-#3): the vector is
+    flagged, listed in vectors_excluded, and the aggregate equals the
+    clean subset's."""
+    sys.path.insert(0, str(BENCH.parent))
+    import bench
+
+    clean = [
+        dict(name="z9m", n_out=9_437_166, t_prep_ms=0.5, t_dev_ms=0.1),
+        dict(name="t1111k", n_out=1_111_000, t_prep_ms=2.0,
+             t_dev_ms=1.0),
+    ]
+    floored = dict(name="b3444k", n_out=3_444_000, t_prep_ms=0.3,
+                   t_dev_ms=0.001, floored=True)
+    p_all = bench.compose_payload(clean + [floored])
+    p_clean = bench.compose_payload(clean)
+    assert p_all["value"] == p_clean["value"]
+    assert p_all["vs_baseline"] == p_clean["vs_baseline"]
+    assert p_all["vectors_excluded"] == ["b3444k"]
+    rows = {r["name"]: r for r in p_all["per_vector"]}
+    assert rows["b3444k"]["floored"] is True
+    assert "vectors_excluded" not in p_clean
+
+
+def test_compose_payload_per_vector_rows():
+    """Per-vector rates and vs_target ride the payload so the named
+    vectors cannot hide inside the aggregate; spread fields pass
+    through when present."""
+    sys.path.insert(0, str(BENCH.parent))
+    import bench
+
+    vectors = [
+        dict(name="t1111k", n_out=1_111_000, t_prep_ms=2.0,
+             t_dev_ms=1.0, t_dev_ms_min=0.9, t_dev_ms_max=1.2,
+             slope_rounds=5),
+    ]
+    p = bench.compose_payload(vectors)
+    (row,) = p["per_vector"]
+    assert row["name"] == "t1111k"
+    assert row["gbps"] == pytest.approx(1_111_000 / 3e-3 / 1e9,
+                                        rel=1e-3)
+    assert row["vs_target"] == pytest.approx(row["gbps"] / 3.0,
+                                             rel=1e-3)
+    assert row["t_dev_ms_min"] == 0.9 and row["t_dev_ms_max"] == 1.2
+    assert row["slope_rounds"] == 5
+
+
 def test_partial_payload_dedups_reexec_duplicates():
     sys.path.insert(0, str(BENCH.parent))
     import bench
