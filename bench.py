@@ -666,29 +666,35 @@ def child_main(progress_path: str) -> int:
         # full protocol when time allows; a reduced one (fewer settle
         # iterations, 3 slopes, 1 attempt) when the deadline looms
         tight = _remaining() < 150
-        attempts = 1 if tight else 3
+        attempts = 2 if tight else 3
         n_slopes = 3 if tight else 5
         settle_iters = 3 if tight else 10
         t_dev = None
         slopes = []
+        reps_v = REPS
         for _attempt in range(attempts):
-            t_prev = timed(REPS)
+            t_prev = timed(reps_v)
             for _ in range(settle_iters):
-                t_now = timed(REPS)
+                t_now = timed(reps_v)
                 if t_now >= t_prev * 0.97:
                     break
                 t_prev = t_now
             slopes = []
             for _ in range(n_slopes):
-                t_small = timed(REPS)
-                t_big = timed(4 * REPS)
-                slopes.append((t_big - t_small) / (3 * REPS))
-            t_dev = sorted(slopes)[len(slopes) // 2]
-            # the tunnel chip's clock can RAMP mid-measurement and turn
-            # a slope negative/absurd; re-run the whole phase until the
-            # estimate is sane (positive and not faster than 1 us)
-            if t_dev > 1e-6:
+                t_small = timed(reps_v)
+                t_big = timed(4 * reps_v)
+                slopes.append((t_big - t_small) / (3 * reps_v))
+            sane = sorted(s for s in slopes if s > 1e-6)
+            # a majority of sane slopes carries the median; otherwise
+            # the decode is too fast for this rep count against the
+            # tunnel's sync jitter (z9m/b3444k run ~0.1 ms) — SCALE
+            # REPS UP 4x and retry rather than flooring (round-4
+            # verdict weak-#3: BENCH_r04 aggregated a floored sample)
+            if len(sane) * 2 > len(slopes):
+                t_dev = sane[len(sane) // 2]
                 break
+            t_dev = sorted(slopes)[len(slopes) // 2]
+            reps_v = min(reps_v * 4, 512)
         # A still-floored sample is flagged and EXCLUDED from the
         # aggregate by compose_payload (round-4 verdict weak-#3: a
         # floored device time must never ride the denominator).

@@ -195,3 +195,132 @@ def test_hdrinfo_in_process_matches_subprocess_layout():
     body = "\n".join(out.decode().splitlines()[2:])
     assert body.startswith("Declared Format        = 184d2204 (modern)")
     assert body.endswith("Header_Checksum        = 8e")
+
+
+# ---------------------------------------------------------------------------
+# round-5 branch coverage: error/IO paths users actually hit
+# (round-4 verdict next-#7)
+# ---------------------------------------------------------------------------
+
+def test_hdrinfo_legacy_skippable_unsupported_and_short():
+    rc, out, _ = run_cli(["lz4hdrinfo"],
+                         (V / "hellolegacy.lz4").read_bytes())
+    assert rc == 0 and b"(legacy)" in out
+    rc, out, _ = run_cli(["lz4hdrinfo"],
+                         (V / "skippable.lz4").read_bytes())
+    assert rc == 0 and b"(skippable)" in out and b"Content_Size" in out
+    rc, out, _ = run_cli(["lz4hdrinfo"], b"\xde\xad\xbe\xef" + b"\0" * 8)
+    assert rc == 0 and b"(UNSUPPORTED)" in out
+    rc, _out, err = run_cli(["lz4hdrinfo"], b"\x04\x22")
+    assert rc == 1 and "Partial frame" in err
+
+
+def test_hdrinfo_content_size_and_dict_id_cursor():
+    """FLG content-size (8-byte field) and dictionary-ID bits move the
+    header-checksum cursor (reference layout lz4hdrinfo.adb:90-145)."""
+    payload = b"cursor test payload " * 10
+    frame = lz4tpu.compress(payload, content_size=True)
+    rc, out, _ = run_cli(["lz4hdrinfo"], frame)
+    assert rc == 0
+    # Ada 'Image format: leading space before a positive number
+    assert f"Content_Size           =  {len(payload)}".encode() in out
+    assert b"Header_Checksum" in out
+    # dict-id flag set by hand: cursor skips 4 more bytes
+    mut = bytearray(frame)
+    mut[4] |= 0x01
+    rc, out, _ = run_cli(["lz4hdrinfo"], bytes(mut))
+    assert rc == 0 and b"Dictionary_ID:1      = TRUE" not in out  # layout
+    assert b"Header_Checksum" in out
+
+
+def test_unlz4_end_not_signalled():
+    """A frame truncated mid-block stalls the context: unlz4 reports
+    the reference consumer's 'End not signalled' diagnostic."""
+    frame = lz4tpu.compress(b"stall payload " * 200)
+    rc, _out, err = run_cli(["unlz4"], frame[:len(frame) - 30])
+    assert rc == 1
+    assert "End not signalled by library" in err
+
+
+def test_compress_content_size_one_shot():
+    payload = b"one-shot content size path " * 64
+    rc, frame, _ = run_cli(["lz4-compress", "--content-size"], payload)
+    assert rc == 0
+    assert lz4tpu.decompress(bytes(frame)) == payload
+    rc, out, _ = run_cli(["lz4hdrinfo"], bytes(frame))
+    assert f"Content_Size           =  {len(payload)}".encode() in out
+
+
+def test_bench_device_backend_and_profile(tmp_path):
+    f = tmp_path / "x.lz4"
+    f.write_bytes((V / "t2.lz4").read_bytes())
+    prof = tmp_path / "trace"
+    rc, _out, err = run_cli(
+        ["lz4-bench", str(f), "--backend", "device", "--reps", "1",
+         "--profile", str(prof)])
+    assert rc == 0 and "MB/s" in err
+    assert "profiler trace written" in err
+
+
+def test_bench_encode_missing_file():
+    rc, _out, err = run_cli(
+        ["lz4-bench", "/nonexistent/payload.bin", "--encode",
+         "--backend", "host"])
+    assert rc == 1 and "lz4-bench:" in err
+
+
+def test_bench_encode_round_trip_guard(tmp_path, monkeypatch):
+    """The encode bench validates the round trip before timing."""
+    from lz4tpu import cli as cli_mod
+
+    f = tmp_path / "p.bin"
+    f.write_bytes(b"round trip guard payload " * 100)
+    import lz4tpu.api as api_mod
+
+    real = api_mod.compress
+
+    def broken(data, **kw):
+        # a VALID frame of the wrong payload: decodes cleanly but
+        # fails the byte comparison (a truncated frame would raise
+        # in decompress_host before the mismatch branch)
+        return real(data[:-1], **kw)
+
+    monkeypatch.setattr("lz4tpu.api.compress", broken)
+    rc, _out, err = run_cli(
+        ["lz4-bench", str(f), "--encode", "--backend", "host",
+         "--reps", "1"])
+    assert rc == 1 and "round-trip mismatch" in err
+    del cli_mod
+
+
+def test_tool_main_wrappers():
+    """Console-script entry points forward argv to their tool."""
+    from lz4tpu import cli
+
+    old_in, old_out, old_err = sys.stdin, sys.stdout, sys.stderr
+    in_b = io.BytesIO((V / "t2.lz4").read_bytes())
+    out_b = io.BytesIO()
+    fake_in = io.TextIOWrapper(in_b, encoding="utf-8")
+    fake_out = io.TextIOWrapper(out_b, encoding="utf-8",
+                                write_through=True)
+    sys.stdin, sys.stdout = fake_in, fake_out
+    sys.stderr = io.StringIO()
+    try:
+        rc = cli.main_unlz4([])
+        fake_out.flush()
+        got = out_b.getvalue()
+    finally:
+        sys.stdin, sys.stdout, sys.stderr = old_in, old_out, old_err
+    assert rc == 0 and got == (V / "t2.bin").read_bytes()
+
+
+def test_xxhash32_pure_python_fallback(monkeypatch):
+    """The tool falls back to the pure-Python hasher when the native
+    engine is unavailable."""
+    import lz4tpu.native as native_mod
+
+    monkeypatch.setattr(native_mod, "available", lambda: False)
+    rc, out, _ = run_cli(["xxhash32"], b"fallback hash input")
+    assert rc == 0
+    from lz4tpu.xxh32 import xxh32 as pyhash
+    assert out.strip() == f"0x{pyhash(b'fallback hash input'):08x}".encode()

@@ -260,3 +260,88 @@ def test_decompress_sharded_fault_precedence(mesh, vectors_dir):
     with pytest.raises(Lz4Error) as ei:
         dist.decompress_sharded(data, mesh)
     assert str(ei.value) in expected
+
+
+# ---------------------------------------------------------------------------
+# device-work balance on real + synthetic corpora (round-4 verdict
+# next-#6): per-device output-byte skew bounds, tied end to end
+# ---------------------------------------------------------------------------
+
+def _loads(units, groups):
+    return [sum(units[i].out_hi - units[i].out_lo for i in g)
+            for g in groups]
+
+
+def test_balance_z9m_three_chains():
+    """z9m's 3 independent chains on 3 devices: every device gets one
+    chain and the output-byte skew stays within the largest/smallest
+    chain gap (LPT is exact for one-item-per-bin)."""
+    data = open("/root/reference/test_vectors_lz4/z9m.lz4", "rb").read()
+    buf, table = _table_of(data)
+    chains = [c for c in __import__("lz4tpu.pipeline", fromlist=["x"])
+              ._chains_of(table) if c.out_hi > c.out_lo]
+    assert len(chains) == 3
+    groups = dist._balance_chains(chains, 3)
+    loads = _loads(chains, groups)
+    assert sorted(loads, reverse=True) == sorted(
+        (c.out_hi - c.out_lo for c in chains), reverse=True)
+    # z9m's chains are its 4 MiB blocks (4M/4M/1M): the max device
+    # load is one block and the LPT bound avg + max_unit holds
+    assert max(loads) == 4_194_304
+    assert max(loads) <= sum(loads) / 3 + max(loads)
+
+
+def test_balance_lpt_bound_random_mixes():
+    """Greedy LPT property on synthetic chain-size mixes: max device
+    load <= average + largest unit (the classical LPT bound), for
+    many seeds and device counts — the efficiency bound PARITY.md
+    states."""
+    import numpy as np
+
+    class U:
+        def __init__(self, n):
+            self.out_lo, self.out_hi = 0, int(n)
+
+    rng = np.random.default_rng(42)
+    for _ in range(20):
+        n_dev = int(rng.integers(2, 17))
+        sizes = rng.integers(1, 1 << 20, int(rng.integers(1, 60)))
+        units = [U(s) for s in sizes]
+        groups = dist._balance_chains(units, n_dev)
+        loads = _loads(units, groups)
+        avg = sum(sizes) / n_dev
+        assert max(loads) <= avg + max(sizes)
+
+
+def test_balance_span_units_monolithic(mesh):
+    """A split monolithic chain's span units land one-per-device with
+    skew bounded by one 64 KiB alignment unit plus the tail — the
+    end-to-end tie between _work_units and _balance_chains."""
+    from lz4tpu import spans as sp
+
+    payload, frame = _mono_frame_for_balance()
+    buf, table = _table_of(frame)
+    units, split = dist._work_units(table, buf, 8, min_subs=8)
+    assert split
+    groups = dist._balance_chains(units, 8)
+    loads = [ld for ld in _loads(units, groups) if ld]
+    # spans differ by at most one alignment unit (plus the short tail
+    # merged into the last span)
+    assert max(loads) - min(loads) <= 2 * sp.RING_SUBS * sp.SUB
+
+
+def _mono_frame_for_balance():
+    import numpy as np
+
+    from lz4tpu import compress
+
+    rng = np.random.default_rng(17)
+    base = rng.integers(32, 127, 8192, dtype=np.uint8)
+    chunks = []
+    for _ in range(80):
+        b = base.copy()
+        idx = rng.integers(0, 8192, 60)
+        b[idx] = rng.integers(32, 127, 60)
+        chunks.append(b.tobytes())
+    payload = b"".join(chunks)[:600 * 1024]
+    return payload, compress(payload, block_max_code=4)
