@@ -2263,6 +2263,58 @@ int32_t lz4tpu_prep_fused_pre(
                         n_threads, 0, prof, prof ? fz_now_ns() : 0);
 }
 
+// Phase 1 of the fused prep as a standalone pass into CALLER buffers:
+// the exclusive size/literal prefixes (with the S/S+1 sentinel slots
+// the prep bisects need), the extracted flat literal stream, and the
+// max match offset.  This reconstructs the scan fast-path tuple
+// (pipeline.SeqTable.pre) for MULTI-BLOCK chains, whose per-block
+// scans cannot emit it directly — enabling the pipelined range prep
+// (lz4tpu_prep_fused_pre_range) on any single-chain stream.
+// starts/litpos must hold S+2 entries; lits must hold >= total
+// literal bytes + 16 (wild-copy slack).  Returns 0, or -98 when
+// positions exceed int32 (the batched pipeline never sends this).
+int32_t lz4tpu_prep_phase1(
+    const int32_t* ll, const int32_t* ml, const int32_t* mo,
+    const int32_t* ls, int64_t S,
+    const uint8_t* buf, int64_t buf_len,
+    int32_t* starts, int32_t* litpos,
+    uint8_t* lits, int64_t lit_cap,
+    int64_t* out_meta /* [3]: n_out, n_lit, max_off */) {
+    int64_t out = 0, lp = 0, max_off = 1;
+    for (int64_t s = 0; s < S; ++s) {
+        starts[s] = (int32_t)out;
+        litpos[s] = (int32_t)lp;
+        out += (int64_t)ll[s] + ml[s];
+        lp += ll[s];
+        if (mo[s] > max_off) max_off = mo[s];
+    }
+    if (out >= INT64_C(0x7FFFFFF0) || lp >= INT64_C(0x7FFFFFF0))
+        return -98;
+    starts[S] = (int32_t)out;
+    starts[S + 1] = INT32_C(0x7FFFFFFF);
+    litpos[S] = (int32_t)lp;
+    litpos[S + 1] = (int32_t)lp;
+    // literal extraction: bounded 16-byte wild copies (later runs
+    // overwrite spill; see lz4tpu_prep_fused's phase 1)
+    for (int64_t s = 0; s < S; ++s) {
+        const int64_t n = ll[s];
+        const int64_t rel = litpos[s];
+        uint8_t* d = lits + rel;
+        const uint8_t* q = buf + ls[s];
+        if (n <= 16 && ls[s] >= 0 && ls[s] + 16 <= buf_len
+            && rel + 16 <= lit_cap) {
+            std::memcpy(d, q, 16);
+        } else if (n) {
+            std::memcpy(d, q, (size_t)n);
+        }
+    }
+    out_meta[0] = out;
+    out_meta[1] = lp;
+    out_meta[2] = max_off;
+    return 0;
+}
+
+
 // Prep ONLY substeps [i_lo, i_hi) from precomputed scan outputs — the
 // host side of the PIPELINED single-stream decode (fused.py
 // decode_fused_pipelined): the Python loop preps chunk k+1 while the

@@ -840,7 +840,7 @@ def _pipelined_rows(buf, table, interpret, pipelined):
 
     if pipelined is None:
         pipelined = os.environ.get("LZ4TPU_PIPELINE", "0") == "1"
-    if not pipelined or table.pre is None:
+    if not pipelined:
         return None
     import jax
 
@@ -859,10 +859,19 @@ def _pipelined_rows(buf, table, interpret, pipelined):
         return None
     if c.out_hi - c.out_lo > _FUSED_MAX_CHAIN_OUT:
         return None
+    pre = table.pre
+    if pre is None:
+        # multi-block single-chain stream: the per-block scans cannot
+        # emit the fast-path tuple, so reconstruct it (native phase-1
+        # pass over the chain's columns — O(S + literal bytes))
+        pre = native.prep_phase1(
+            table.lit_len, table.match_len, table.match_off,
+            table.lit_src, buf,
+        )
     try:
         flat, n_out = fu.decode_fused_pipelined(
             table.lit_len, table.match_len, table.match_off,
-            table.lit_src, buf, table.pre, interpret=interpret,
+            table.lit_src, buf, pre, interpret=interpret,
         )
     except fu.FusedOverflow:
         return None

@@ -143,19 +143,41 @@ def test_pipelined_api_opt_in():
     assert np.asarray(jax.device_get(res2)).tobytes() == payload
 
 
-def test_pipelined_requires_pre():
-    """Multi-block streams (no scan fast-path tuple) and sparse
-    chains fall back to the planned path."""
-    data = (V / "t300k.lz4").read_bytes()    # 5 blocks -> pre is None
-    buf, _parsed = np.frombuffer(data, np.uint8), None
-    parsed = parse_frames(buf, FOR_ALL)
-    t = build_seq_table(buf, parsed, FOR_ALL, data, pooled_cols=True)
-    assert t.pre is None
-    from lz4tpu.pipeline import _pipelined_rows
+def test_pipelined_multi_block_via_phase1():
+    """Multi-block single-chain streams lack the scan fast-path tuple;
+    the native phase-1 pass reconstructs it (differential against
+    scan_block_full on a single-block vector) and the pipelined path
+    decodes bit-exactly."""
+    import jax
 
-    assert _pipelined_rows(buf, t, True, True) is None
+    # phase-1 differential vs the scan's own tuple
+    d1 = (V / "t1111k.lz4").read_bytes()
+    b1 = np.frombuffer(d1, np.uint8)
+    t1 = build_seq_table(b1, parse_frames(b1, FOR_ALL), FOR_ALL, d1,
+                         pooled_cols=True)
+    s_e, l_e, lits_e, mo_e = t1.pre
+    s_g, l_g, lits_g, mo_g = native.prep_phase1(
+        t1.lit_len, t1.match_len, t1.match_off, t1.lit_src, b1)
+    assert np.array_equal(s_g, s_e[:s_g.size])
+    assert np.array_equal(l_g, l_e[:l_g.size])
+    assert np.array_equal(lits_g, lits_e[:lits_g.size])
+    assert mo_g == mo_e
+
+    data = (V / "t300k.lz4").read_bytes()    # 5 blocks -> pre is None
+    buf = np.frombuffer(data, np.uint8)
+    t = build_seq_table(buf, parse_frames(buf, FOR_ALL), FOR_ALL,
+                        data, pooled_cols=True)
+    assert t.pre is None
+    res = decompress_to_device(data, interpret=True, pipelined=True)
+    assert (np.asarray(jax.device_get(res)).tobytes()
+            == decompress_host(data))
+
+
+def test_pipelined_skips_sparse_chains():
     z = compress(b"\x00" * 100000, block_max_code=7)
     bufz = np.frombuffer(z, np.uint8)
     pz = parse_frames(bufz, FOR_ALL)
     tz = build_seq_table(bufz, pz, FOR_ALL, z, pooled_cols=True)
+    from lz4tpu.pipeline import _pipelined_rows
+
     assert _pipelined_rows(bufz, tz, True, True) is None   # sparse
