@@ -1,23 +1,33 @@
 """Data-parallel LZ4 decode over a JAX device mesh.
 
 Sharding model (new capability vs the strictly single-threaded
-reference — see SURVEY.md section 2 "Parallelism strategies"):
+reference — see SURVEY.md section 2 "Parallelism strategies"),
+three tiers:
 
-The decoded *output byte range* is split into equal spans, one per
-device (sequence tables and compressed bytes are replicated — they are
-small relative to output). Each device runs the byte-parallel resolver
-(lz4tpu/device/decode.py) on its span. LZ4 back-references reach at
-most 64 KiB backwards, so after local pointer doubling every pointer
-that escapes a span provably lands in the 64 KiB *tail* of some
-earlier span. One ``all_gather`` of those tails (64 KiB * 4 B per
-device) plus a short doubling pass over the gathered tails resolves
-all cross-span chains; a final per-device substitution and byte gather
-produce the span's output. Outputs land already ordered because the
-output array is sharded by span along the mesh axis.
+1. CHAIN-PARALLEL (the fast path): chains (frames / independent
+   blocks) are balanced across devices by output bytes; each device
+   runs the same full-rate kernels the single-chip pipeline uses.
+   No collective during compute; outputs reassemble in stream order.
+2. SPAN-PARALLEL for monolithic dependent chains (round-4 verdict
+   missing-#1, lz4tpu/spans.py): when there are fewer chains than
+   devices, a fused-class chain splits into 64 KiB-aligned spans —
+   chain-coordinate slices of ONE whole-chain prep — each span's
+   kernel ring seeded with its host-resolved boundary window
+   (provenance chain-following, native lz4tpu_resolve_window; no
+   sequential decode).  Spans schedule exactly like chains
+   (_work_units -> SpanUnit), so the BASELINE-named single-chain
+   vectors (t1111k, b3444k shapes) shard onto the fast kernel.
+3. RESOLVER SPAN-SHARDING (fallback for non-splittable monoliths):
+   the decoded output range splits into equal spans, one per device,
+   each running the byte-parallel resolver (device/decode.py).
+   Back-references reach at most 64 KiB backwards, so after local
+   pointer doubling every escaping pointer lands in the 64 KiB tail
+   of an earlier span; one ``all_gather`` of tails (64 KiB * 4 B per
+   device) plus a short doubling pass resolves all cross-span chains.
 
-Communication = one all_gather over ICI; everything else is local.
-This scales the bandwidth-heavy phase linearly in devices while the
-exchange stays O(devices * 64 KiB).
+Communication: tier 1/2 exchange nothing during compute; tier 3 is
+one all_gather over ICI.  All tiers scale the bandwidth-heavy phase
+linearly in devices.
 """
 
 from __future__ import annotations
@@ -730,9 +740,11 @@ def _multihost_ordered_merge(out: np.ndarray, table, mesh: Mesh,
 def decompress_sharded(data, mesh: Mesh | None = None, reservation=None) -> bytes:
     """One-shot data-parallel decode across a device mesh.
 
-    Strategy: multiple independent chains shard chain-wise onto the
-    full-rate MXU kernel; a single monolithic chain falls back to the
-    span-sharded resolver (local doubling + 64 KiB tail exchange).
+    Strategy: chains shard chain-wise onto the full-rate kernels;
+    a monolithic fused-class chain splits into ring-seeded spans that
+    schedule like chains (lz4tpu/spans.py); only non-splittable
+    monoliths fall back to the span-sharded resolver (local doubling
+    + 64 KiB tail exchange).
 
     Fault precedence matches the reference via the same
     batch->streaming re-derivation as pipeline.decompress_device."""
