@@ -1253,34 +1253,6 @@ def _make_expand_kernel():
     return kern
 
 
-def _cum2d_host(x):
-    """Module-level copy of the kernel _cum2d (shared by both kernel
-    factories; Mosaic has no cumsum primitive — log-shift adds)."""
-    import jax.numpy as jnp
-
-    zeros = functools.partial(jnp.zeros, dtype=x.dtype)
-    c = x
-    k = 1
-    while k < CHUNK:
-        c = c + jnp.concatenate(
-            [zeros((NCHUNK, k)), c[:, :CHUNK - k]], axis=1)
-        k <<= 1
-    s = x
-    k = 1
-    while k < CHUNK:
-        s = s + jnp.concatenate(
-            [s[:, k:], zeros((NCHUNK, k))], axis=1)
-        k <<= 1
-    m = c + s - x
-    q = m
-    k = 1
-    while k < NCHUNK:
-        q = q + jnp.concatenate(
-            [zeros((k, CHUNK)), q[:NCHUNK - k]], axis=0)
-        k <<= 1
-    return c + q - m
-
-
 def pl_program_id(axis):
     from jax.experimental import pallas as pl
 

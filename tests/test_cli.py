@@ -324,3 +324,35 @@ def test_xxhash32_pure_python_fallback(monkeypatch):
     assert rc == 0
     from lz4tpu.xxh32 import xxh32 as pyhash
     assert out.strip() == f"0x{pyhash(b'fallback hash input'):08x}".encode()
+
+
+def test_compress_streaming_path():
+    """Default lz4-compress (no --content-size/--legacy) streams through
+    the incremental Compressor, not the one-shot encoder."""
+    payload = b"streaming compressor path " * 4096
+    rc, out, _ = run_cli(["lz4-compress"], payload)
+    assert rc == 0
+    assert lz4tpu.decompress(out) == payload
+
+
+def test_bench_encode_sharded_backend(tmp_path):
+    """--backend sharded runs the mesh encoder (8-device CPU mesh in
+    this suite) and validates the round trip."""
+    f = tmp_path / "p.bin"
+    f.write_bytes(b"sharded bench payload, repeated words words. " * 800)
+    rc, _out, err = run_cli(
+        ["lz4-bench", str(f), "--encode", "--backend", "sharded",
+         "--reps", "1"])
+    assert rc == 0, err
+
+
+def test_xxhash32_native_import_failure(monkeypatch):
+    """If the native hasher cannot even be imported, the tool falls
+    back to the pure-Python implementation instead of crashing."""
+    import lz4tpu.native as native_mod
+
+    monkeypatch.delattr(native_mod, "NativeXXH32")
+    rc, out, _ = run_cli(["xxhash32"], b"import failure input")
+    assert rc == 0
+    from lz4tpu.xxh32 import xxh32 as pyhash
+    assert out.strip() == f"0x{pyhash(b'import failure input'):08x}".encode()

@@ -464,3 +464,128 @@ def test_window_reload_flags():
     assert (flags[1:] == (~same).astype(np.int32)).all()
     # gating must actually pay: windows are mostly stable on text
     assert flags.sum() < prep.n_sub / 2
+
+
+# ---------------------------------------------------------------------------
+# ablation-variant kernels (exp/fused_ab.py knobs) and edge guards
+# ---------------------------------------------------------------------------
+
+def _dev_args(prep):
+    import jax.numpy as jnp
+
+    return tuple(jnp.asarray(a) for a in (
+        prep.seqrec, prep.lits, prep.winq, prep.scal, prep.patch
+    ))
+
+
+def test_ablation_unified_exact():
+    """The `unified` variant (ONE scatter matmul for seq records AND
+    patches, the round-3 falsified-perf alternative kept for A/B) is a
+    complete kernel, not a probe: it must stay bit-exact on a
+    multi-substep, patch-bearing vector."""
+    data, prep = _prep("t100k")
+    assert prep.n_sub > 1 and prep.n_patches > 0
+    ref = decompress_host(data)
+    rows, _ring = fused._decode_fused_device(
+        *_dev_args(prep), n_sub=prep.n_sub, interpret=True,
+        ablate=frozenset({"unified"}),
+    )
+    got = np.asarray(rows).astype(np.uint8).ravel()[: len(ref)]
+    assert got.tobytes() == ref
+
+
+@pytest.mark.parametrize(
+    "ab", ["expand", "patch", "patchnop", "route", "nosel", "ohint"]
+)
+def test_ablation_probes_run(ab):
+    """Timing-probe variants must keep tracing and executing (bytes are
+    wrong by design for most — exp/fused_ab.py relies on them staying
+    launchable); only shape/dtype are pinned."""
+    _data, prep = _prep("t389")
+    rows, ring = fused._decode_fused_device(
+        *_dev_args(prep), n_sub=prep.n_sub, interpret=True,
+        ablate=frozenset({ab}),
+    )
+    assert rows.shape == (prep.n_sub * fused.NCHUNK, fused.CHUNK)
+    assert rows.dtype == np.uint8
+    assert ring.shape == (fused.RPAGES, fused.ROWB)
+
+
+def test_ablation_requires_full_width():
+    """Ablation knobs are defined only for the full-width kernel; the
+    adaptive rpages/seq_rows variants must reject them loudly."""
+    _data, prep = _prep("t389")
+    with pytest.raises(AssertionError):
+        fused._decode_fused_device(
+            *_dev_args(prep), n_sub=prep.n_sub, interpret=True,
+            ablate=frozenset({"route"}), rpages=64,
+        )
+
+
+def test_prep_pre_empty_chain():
+    """The scan fast-path prep of a zero-sequence chain returns an
+    empty FusedPrep, and the device launcher short-circuits it."""
+    from lz4tpu import native
+
+    if not native.available():
+        pytest.skip("native engine required for the pre path")
+    e = np.zeros(0, np.int32)
+    pre = (np.zeros(2, np.int32), np.zeros(2, np.int32),
+           np.zeros(0, np.uint8), 1)
+    prep = fused.prep_fused(e, e, e, e, np.zeros(0, np.uint8), pre=pre)
+    assert prep.n_sub == 0 and prep.n_patches == 0
+    out = fused.decode_fused_rows_on_device(prep, interpret=True)
+    assert np.asarray(out).size == 0
+
+
+def test_pipelined_requires_native(monkeypatch):
+    from lz4tpu import native
+
+    monkeypatch.setattr(native, "available", lambda: False)
+    e = np.zeros(0, np.int32)
+    pre = (np.zeros(2, np.int32), np.zeros(2, np.int32),
+           np.zeros(0, np.uint8), 1)
+    with pytest.raises(fused.FusedOverflow):
+        fused.decode_fused_pipelined(
+            e, e, e, e, np.zeros(0, np.uint8), pre
+        )
+
+
+def test_pipelined_empty_stream():
+    from lz4tpu import native
+
+    if not native.available():
+        pytest.skip("native engine required")
+    e = np.zeros(0, np.int32)
+    pre = (np.zeros(2, np.int32), np.zeros(2, np.int32),
+           np.zeros(0, np.uint8), 1)
+    rows, n_out = fused.decode_fused_pipelined(
+        e, e, e, e, np.zeros(0, np.uint8), pre
+    )
+    assert n_out == 0 and np.asarray(rows).size == 0
+
+
+def test_group_scatter_budget():
+    """Slot grouping must reject substep overflows with the budget in
+    the message, and pack within-budget rows into stable slots."""
+    sub_i = np.zeros(5, np.int64)
+    r = np.arange(1, 6, dtype=np.int64)
+    with pytest.raises(fused.FusedOverflow, match="budget 4"):
+        fused._group_scatter(sub_i, [r], 1, 4, "records")
+    outs = fused._group_scatter(sub_i, [r], 1, 8, "records")
+    assert outs[0].shape == (1, 8)
+    assert sorted(outs[0][0, :5].tolist()) == [1, 2, 3, 4, 5]
+    assert (outs[0][0, 5:] == 0).all()
+
+
+def test_resolve_patches_depth_guard():
+    """An in-substep provenance chain deeper than 64 hops must abort
+    with FusedOverflow (the numpy prep's analog of the native -14)."""
+    pst = np.array([0], np.int64)       # one sequence starting at 0
+    pll = np.array([0], np.int64)       # no literals
+    pmo = np.array([1], np.int64)       # offset-1 self-chain
+    pli = np.array([0], np.int64)
+    positions = np.array([100], np.int64)
+    sub_base = np.array([0], np.int64)
+    with pytest.raises(fused.FusedOverflow, match="deeper"):
+        fused._resolve_patches(pst, pll, pmo, pli, positions, sub_base)

@@ -169,3 +169,35 @@ def test_resolve_window_hop_budget():
             512 * 1024, 65536, hop_budget=10,
         )
     del lz4tpu
+
+
+def test_get_stale_so_build_failure_is_cached(monkeypatch, tmp_path):
+    """A missing/stale .so triggers a rebuild; a rebuild failure is
+    cached as the load error (no retry storm on every call)."""
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_load_error", None)
+    monkeypatch.setattr(native, "_SO", str(tmp_path / "absent.so"))
+
+    def boom():
+        raise RuntimeError("simulated compiler failure")
+
+    monkeypatch.setattr(native, "_build", boom)
+    with pytest.raises(RuntimeError, match="simulated compiler"):
+        native._get()
+    # the failure is now the cached load error
+    assert isinstance(native._load_error, RuntimeError)
+    assert native.available() is False
+
+
+def test_build_compiles_and_binds(monkeypatch, tmp_path):
+    """The self-compile path produces a loadable, bindable library
+    (the in-process analog of the packaging test's fresh-interpreter
+    self-compile)."""
+    import ctypes
+
+    so = tmp_path / "fresh_lz4core.so"
+    monkeypatch.setattr(native, "_SO", str(so))
+    native._build()
+    assert so.exists() and so.stat().st_size > 0
+    lib = native._bind(ctypes.CDLL(str(so)))
+    assert lib.lz4tpu_xxh32_state_size() > 0

@@ -368,3 +368,67 @@ def test_span_split_possible_screen():
     z = compress(b"\x00" * (300 << 10))
     bufz, tablez = _table_of(z)
     assert not dist._span_split_possible(tablez, 8, min_subs=8)
+
+
+# ---------------------------------------------------------------------------
+# split_fused_chain (top-level helper) + threaded ring resolution
+# ---------------------------------------------------------------------------
+
+def test_split_fused_chain_end_to_end():
+    """The one-call helper (spans + span-local preps + boundary rings)
+    decodes bit-exact through the golden model on a monolithic chain."""
+    data = (V / "t300k.lz4").read_bytes()
+    buf, table, chain, _cols = _chain_cols(data)
+    res = sp.split_fused_chain(table, chain, buf, 4)
+    assert res is not None
+    spans_, preps, rings = res
+    assert len(spans_) == len(preps) == len(rings) > 1
+    assert rings[0] is None and all(r is not None for r in rings[1:])
+    out = bytearray()
+    for s, prep, ring in zip(spans_, preps, rings):
+        seed = None
+        if ring is not None:
+            seed = np.zeros(sp.RING, np.uint8)
+            q0 = s.out_lo - sp.RING
+            seed[(q0 + np.arange(sp.RING)) % sp.RING] = ring
+        rows = fused.golden_decode(prep, ring_init=seed)
+        out += rows[: s.out_hi - s.out_lo].tobytes()
+    assert bytes(out) == decompress_host(data)
+
+
+def test_split_fused_chain_device_ring_chaining():
+    """with_rings=False (device ring-chaining mode) returns no rings
+    and the same span/prep partition."""
+    data = (V / "t300k.lz4").read_bytes()
+    buf, table, chain, _cols = _chain_cols(data)
+    res = sp.split_fused_chain(table, chain, buf, 4, with_rings=False)
+    assert res is not None
+    spans_, preps, rings = res
+    assert rings is None and len(spans_) == len(preps) > 1
+    assert sum(s.out_hi - s.out_lo for s in spans_) == (
+        chain.out_hi - chain.out_lo)
+
+
+def test_split_fused_chain_too_small_returns_none():
+    """A chain below the minimum span size must not split."""
+    data = (V / "t2.lz4").read_bytes()
+    buf, table, chain, _cols = _chain_cols(data)
+    assert sp.split_fused_chain(table, chain, buf, 4) is None
+
+
+def test_resolve_rings_threaded_matches_serial(monkeypatch):
+    """The thread-pooled multi-boundary resolver is bit-identical to
+    per-boundary serial calls (the GIL-released native walk writes
+    disjoint outputs)."""
+    data = (V / "t300k.lz4").read_bytes()
+    buf, _table, _chain, (ll, ml, mo, ls) = _chain_cols(data)
+    starts = sp._starts_ext(ll, ml)
+    boundaries = [sp.RING, 2 * sp.RING, 3 * sp.RING]
+    serial = [sp.resolve_ring_bytes(ll, ml, mo, ls, buf, b, sp.RING,
+                                    starts)
+              for b in boundaries]
+    monkeypatch.setenv("LZ4TPU_PACK_THREADS", "3")
+    threaded = sp.resolve_rings(ll, ml, mo, ls, buf, boundaries, starts)
+    assert len(threaded) == 3
+    for a, b in zip(serial, threaded):
+        assert np.array_equal(a, b)
