@@ -113,8 +113,13 @@ class DecodeTicket:
                     seg = np.asarray(jax.device_get(arr))
                     out[lo:lo + seg.size] = seg.tobytes()
                 out = bytes(out)
-                self._session._verify(self._buf, self._parsed, out,
-                                      self._table)
+                if not self._verified:
+                    # a prior result_on_device(verify="device") may have
+                    # settled the contract already (and dropped the
+                    # inputs it needed) while leaving zero-output segs
+                    # in place — do not verify twice
+                    self._session._verify(self._buf, self._parsed, out,
+                                          self._table)
                 self._out_np = out
                 self._segs = None
                 self._mark_verified()

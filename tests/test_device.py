@@ -229,3 +229,38 @@ def test_sparse_classifier_rejections():
 
     # and a healthy RLE-ish chain still classifies
     assert prog([4, 0], [0, 5000], [1, 4], [0, 0]) is not None
+
+
+def test_forced_resolver_engine(vectors_dir):
+    """engine="resolve" (byte-parallel XLA resolver) decodes bit-exact
+    — the correctness-engine contract the sharded fallback relies on."""
+    data = (vectors_dir / "t100k.lz4").read_bytes()
+    ref = (vectors_dir / "t100k.bin").read_bytes()
+    assert decompress_device(data, engine="resolve") == ref
+
+
+def test_plan_overflow_isolation_multi_chain(vectors_dir):
+    """A fused-class chain concatenated with a budget-overflowing chain:
+    plan_decode must isolate the offender per chain (the good chain
+    keeps the fused engine, the offender falls to the host-pack dense
+    engine) and the public pipeline stays bit-exact."""
+    from lz4tpu.constants import FOR_ALL
+    from lz4tpu.frame import parse_frames
+    from lz4tpu.pipeline import DecodeStats, build_seq_table, plan_decode
+
+    good = (vectors_dir / "t100k.lz4").read_bytes()
+    # the offender needs > _SPARSE_MAX_SEQS sequences (text prefix) AND
+    # a guaranteed patch-budget overflow (the offset-2 run)
+    text = (vectors_dir / "t100k.bin").read_bytes()[:50_000]
+    bad_payload = text + b"ab" * 120_000
+    data = good + compress(bad_payload)
+    ref = (vectors_dir / "t100k.bin").read_bytes() + bad_payload
+
+    buf = np.frombuffer(data, np.uint8)
+    parsed = parse_frames(buf, FOR_ALL)
+    table = build_seq_table(buf, parsed, FOR_ALL, data)
+    st = DecodeStats()
+    plan = plan_decode(buf, parsed, table, st)
+    assert len(plan.fused_chains) == 1
+    assert len(plan.dense_chains) == 1
+    assert decompress_device(data, interpret=True) == ref

@@ -192,3 +192,49 @@ class TestSessionErrors:
     def test_empty_input(self):
         with DecodeSession() as s:
             assert s.submit(b"").result() == b""
+
+
+class TestTicketEdges:
+    def test_result_on_device_rejects_bad_verify_mode(self, vectors_dir):
+        d, ref = _vec(vectors_dir, "t2")
+        with DecodeSession() as s:
+            t = s.submit(d)
+            with pytest.raises(ValueError, match="'device' or 'none'"):
+                t.result_on_device(verify="bogus")
+            assert t.result() == ref
+
+    def test_empty_input_device_result(self, vectors_dir):
+        """A zero-output stream still yields a (0,) device array and an
+        empty host result, through both collection orders."""
+        d, _ = _vec(vectors_dir, "empty")
+        with DecodeSession() as s:
+            t = s.submit(d)
+            arr = t.result_on_device()
+            assert np.asarray(arr).size == 0
+            assert t.result() == b""
+        with DecodeSession() as s:
+            t = s.submit(d)
+            assert t.result() == b""
+            assert np.asarray(t.result_on_device()).size == 0
+
+    def test_deferred_verify_settles_on_host_result(self, vectors_dir):
+        """verify="none" defers the checksum contract; a later host
+        result() must still settle it (clean stream: no error)."""
+        d, ref = _vec(vectors_dir, "t100k")
+        with DecodeSession() as s:
+            t = s.submit(d)
+            t.result_on_device(verify="none")
+            assert t.result() == ref
+
+    def test_result_timeout_zero_on_unfinished(self, vectors_dir):
+        """timeout=0 raises TimeoutError unless the decode already
+        finished (large vector, checked immediately after submit)."""
+        d, ref = _vec(vectors_dir, "b3444k")
+        with DecodeSession() as s:
+            t = s.submit(d)
+            try:
+                out = t.result(timeout=0.0)
+                # rare on this box, legal: decode won the race
+                assert out == ref
+            except TimeoutError:
+                assert t.result() == ref
