@@ -104,3 +104,67 @@ def test_fault_precedence_zero_length_block_checksum():
             run()
         outcomes.append(str(e.value))
     assert outcomes[0] == outcomes[1] == outcomes[2]
+
+
+# ---- round-5 additions: decompress_into validation, flexible
+# reservation, auto-backend probe failure, batch content-size
+# undershoot fallback ----
+
+def test_decompress_into_rejects_bad_dst():
+    frame = lz4tpu.compress(b"abc" * 100)
+    with pytest.raises(ValueError, match="1-D uint8"):
+        lz4tpu.decompress_into(frame, np.zeros((4, 4), np.uint8))
+    with pytest.raises(ValueError, match="writable"):
+        lz4tpu.decompress_into(frame, bytes(1000))
+
+
+def test_decompress_into_flexible_reservation():
+    from lz4tpu.constants import Reservation
+
+    frame = lz4tpu.compress(b"abc" * 100)
+    dst = bytearray(4096)
+    n = lz4tpu.decompress_into(frame, dst, Reservation.USE_FIRST)
+    assert bytes(dst[:n]) == b"abc" * 100
+
+
+def test_decompress_into_truncated_mid_frame():
+    frame = lz4tpu.compress(b"abc" * 100)
+    with pytest.raises(DataCorruption, match="middle of a frame"):
+        lz4tpu.decompress_into(frame[:-6], bytearray(4096))
+
+
+def test_decompress_auto_platform_probe_failure(monkeypatch):
+    # jax.devices() raising (backend down) must fall back to the host
+    # engine, not propagate.
+    import jax
+
+    def _raise():
+        raise RuntimeError("backend down")
+
+    frame = lz4tpu.compress(b"auto " * 100)
+    monkeypatch.setattr(jax, "devices", _raise)
+    assert lz4tpu.decompress(frame, backend="auto") == b"auto " * 100
+
+
+def test_decompress_host_empty_input():
+    assert lz4tpu.decompress_host(b"") == b""
+
+
+def test_batch_content_size_undershoot_streaming_parity():
+    # Declared content size below the real output: the batch decoder's
+    # linear buffer (sized from the declaration) overflows with a
+    # status raise, and decompress_host falls back to the streaming
+    # engine's byte-exact content-size diagnostic.
+    from lz4tpu.xxh32 import xxh32
+
+    frame = lz4tpu.compress(b"undershoot " * 400, content_size=True,
+                            content_checksum=False)
+    declared = int.from_bytes(frame[6:14], "little") - 40
+    body = frame[4:6] + declared.to_bytes(8, "little")
+    hc = (xxh32(body) >> 8) & 0xFF
+    bad = (frame[:6] + declared.to_bytes(8, "little") + bytes([hc])
+           + frame[15:])
+    with pytest.raises(DataCorruption) as ei:
+        lz4tpu.decompress_host(bad)
+    # the message is the streaming engine's reference-parity string
+    assert "size" in str(ei.value).lower() or "corrupt" in str(ei.value).lower()

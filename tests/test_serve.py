@@ -238,3 +238,32 @@ class TestTicketEdges:
                 assert out == ref
             except TimeoutError:
                 assert t.result() == ref
+
+
+def test_ticket_device_timeout_and_error_paths():
+    # Deterministic ticket-level checks (no live session): a never-
+    # finishing ticket times out without releasing its slot; a failed
+    # ticket re-raises through result_on_device and releases exactly
+    # once.
+    from lz4tpu.errors import DataCorruption
+    from lz4tpu.serve import DecodeTicket
+
+    class _Slots:
+        released = 0
+
+        def release(self):
+            type(self).released += 1
+
+    class _Sess:
+        _slots = _Slots()
+
+    t = DecodeTicket(_Sess())
+    with pytest.raises(TimeoutError, match="not finished"):
+        t.result_on_device(timeout=0.01)
+    assert _Slots.released == 0
+    t._fail(DataCorruption("boom"))
+    with pytest.raises(DataCorruption, match="boom"):
+        t.result_on_device()
+    with pytest.raises(DataCorruption, match="boom"):
+        t.result(timeout=1)
+    assert _Slots.released == 1

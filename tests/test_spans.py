@@ -432,3 +432,19 @@ def test_resolve_rings_threaded_matches_serial(monkeypatch):
     assert len(threaded) == 3
     for a, b in zip(serial, threaded):
         assert np.array_equal(a, b)
+
+
+def test_resolver_zero_boundary_returns_zero_window():
+    # boundary 0: the window lies entirely before the chain start —
+    # all-zero by contract (never referenced by a valid span).
+    import numpy as np
+
+    from lz4tpu import spans
+
+    ll = np.array([4], np.int32)
+    ml = np.array([0], np.int32)
+    mo = np.array([1], np.int32)
+    ls = np.array([0], np.int32)
+    buf = np.frombuffer(b"ABCD", np.uint8)
+    out = spans._resolve_ring_bytes_numpy(ll, ml, mo, ls, buf, 0, 16)
+    assert out.shape == (16,) and not out.any()
