@@ -345,3 +345,38 @@ def _mono_frame_for_balance():
         chunks.append(b.tobytes())
     payload = b"".join(chunks)[:600 * 1024]
     return payload, compress(payload, block_max_code=4)
+
+
+def test_sharded_resolver_class_chains_bit_exact(monkeypatch):
+    # Chains too small to span-split and (capped) too large for the
+    # dense engines route to the per-chain resolver inside BOTH sharded
+    # launchers (dist.py resolve_chains loops).
+    from lz4tpu import pipeline
+
+    import pathlib
+    t100k = pathlib.Path(
+        "/root/reference/test_vectors_lz4/t100k.bin").read_bytes()
+    # ~20 KiB text frames: > _SPARSE_MAX_SEQS sequences, < 2*min_subs
+    # substeps, so _work_units keeps them unsplit.
+    frames = b"".join(compress(t100k[k * 20000:(k + 1) * 20000])
+                      for k in range(3))
+    ref = decompress_host(frames)
+    buf, table = _table_of(frames)
+    m = dist.make_mesh()
+    monkeypatch.setattr(pipeline, "_DENSE_MAX_CHAIN_OUT", 64)
+    out = dist.decode_sharded_chains(table, buf, m)
+    assert out.tobytes() == ref
+    segs = dist.decode_sharded_chains_to_device(table, buf, m)
+    got = bytearray(len(ref))
+    for lo, arr in segs:
+        a = np.asarray(arr)
+        got[lo:lo + a.size] = a.tobytes()
+    assert bytes(got) == ref
+
+
+def test_compress_sharded_default_mesh_block_checksum():
+    payload = b"sharded default-mesh payload %04d " * 300 % tuple(
+        range(300))
+    frame = dist.compress_sharded(payload, block_checksum=True,
+                                  block_max_code=4)
+    assert decompress_host(frame) == payload
