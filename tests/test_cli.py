@@ -356,3 +356,29 @@ def test_xxhash32_native_import_failure(monkeypatch):
     assert rc == 0
     from lz4tpu.xxh32 import xxh32 as pyhash
     assert out.strip() == f"0x{pyhash(b'import failure input'):08x}".encode()
+
+
+def test_bench_encode_device_backend(tmp_path):
+    # --encode --backend device: the sorted-gram candidate pass runs
+    # as a JAX program (CPU backend here), host emits tokens.
+    f = tmp_path / "payload.bin"
+    f.write_bytes(b"device encode payload %03d " * 120
+                  % tuple(range(120)))
+    rc, _out, err = run_cli(
+        ["lz4-bench", str(f), "--encode", "--backend", "device",
+         "--reps", "1"])
+    assert rc == 0
+    assert "MB/s" in err
+
+
+def test_cli_module_entry_runs():
+    import subprocess
+    import sys
+
+    p = subprocess.run(
+        [sys.executable, "-m", "lz4tpu.cli"],
+        capture_output=True, text=True, timeout=120,
+        env={"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin:/usr/local/bin"},
+    )
+    assert p.returncode != 0          # usage error, not a crash
+    assert "usage" in (p.stderr + p.stdout).lower()
